@@ -1,0 +1,33 @@
+"""Global constants for the TPU-native Huffman framework.
+
+The symbol model mirrors the reference codec's 16-bit byte-pair alphabet
+(reference: Compressor.cu:38-48 packs ``(data[2i+1] << 8) | data[2i]``),
+but every value here is a framework-level knob, not a copy of reference
+compile-time constants.
+"""
+
+# Size of the symbol alphabet: 16-bit byte pairs.
+MAX_SYMBOLS = 65536
+
+# Bits per symbol in the raw (uncompressed) representation.
+SYMBOL_BITS = 16
+
+# Bytes per symbol.
+SYMBOL_BYTES = 2
+
+# Maximum supported codeword length. Canonical decode left-justifies codes
+# into 32-bit words, so codewords must fit in 32 bits. Plain Huffman over a
+# 65,536-symbol alphabet can theoretically exceed this only with pathological
+# (Fibonacci-like) frequency profiles over >2^32 input symbols; the encoder
+# asserts and falls back to depth-limited construction if it ever happens.
+MAX_CODE_LEN = 32
+
+# Default number of symbols per independently-decodable block in the native
+# container. 1<<16 symbols = 128 KiB of input per block. Chosen so that
+# thousands of blocks are in flight for lane-parallel decode while per-block
+# offset-table overhead stays < 0.01%.
+DEFAULT_BLOCK_SYMBOLS = 1 << 16
+
+# Native container magic / version.
+NATIVE_MAGIC = 0x48545055  # "HTPU"
+NATIVE_VERSION = 1

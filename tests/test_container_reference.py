@@ -1,0 +1,86 @@
+"""Reference-format container tests, including cross-interop with the
+compiled reference binaries (the reference's own definition of correctness
+is the roundtrip diff — SURVEY.md §4)."""
+
+import subprocess
+
+import numpy as np
+import pytest
+
+from huffman_tpu.container import reference_format as rf
+
+
+def _roundtrip(data: bytes) -> None:
+    blob = rf.compress(data)
+    assert rf.decompress(blob) == data
+
+
+@pytest.mark.parametrize(
+    "data",
+    [
+        b"",
+        b"a",
+        b"ab",
+        b"abc",
+        b"aa" * 500,          # single unique symbol
+        b"ab" * 300 + b"x",   # odd length
+        bytes(range(256)) * 4,
+    ],
+    ids=["empty", "one-byte", "one-pair", "odd-3", "single-symbol", "odd-tail", "dense"],
+)
+def test_roundtrip_edge_cases(data):
+    _roundtrip(data)
+
+
+def test_roundtrip_random():
+    rng = np.random.default_rng(0)
+    _roundtrip(rng.integers(0, 256, size=10001, dtype=np.uint8).tobytes())
+
+
+def test_romeo_roundtrip_and_size(romeo_bytes):
+    blob = rf.compress(romeo_bytes)
+    # Ground-truth compressed size measured from the reference (BASELINE.md).
+    assert len(blob) == 91732
+    assert rf.decompress(blob) == romeo_bytes
+
+
+def test_reference_archive_to_our_decompress(romeo_bytes, ref_archive, tmp_path):
+    if ref_archive is None:
+        pytest.skip("reference compressor not buildable here")
+    src = tmp_path / "romeo.txt"
+    src.write_bytes(romeo_bytes)
+    subprocess.run([str(ref_archive), str(src)], check=True, capture_output=True, cwd=tmp_path)
+    blob = (tmp_path / "romeo.txt.compressed").read_bytes()
+    assert rf.decompress(blob) == romeo_bytes
+
+
+def test_our_compress_to_reference_extract(romeo_bytes, ref_extract, tmp_path):
+    if ref_extract is None:
+        pytest.skip("reference decompressor not buildable here")
+    blob = rf.compress(romeo_bytes)
+    comp = tmp_path / "ours.compressed"
+    comp.write_bytes(blob)
+    subprocess.run([str(ref_extract), str(comp)], check=True, capture_output=True, cwd=tmp_path)
+    assert (tmp_path / "DECOMPRESSED_FILE").read_bytes() == romeo_bytes
+
+
+def test_our_compress_to_reference_extract_edge_cases(ref_extract, tmp_path):
+    """Inputs the reference *compressor* corrupts (SURVEY.md §4) must still
+    produce containers its *decompressor* handles, through our fixes."""
+    if ref_extract is None:
+        pytest.skip("reference decompressor not buildable here")
+    cases = {"empty": b"", "single": b"zz" * 100, "one-byte": b"q"}
+    for name, data in cases.items():
+        d = tmp_path / name
+        d.mkdir()
+        comp = d / "x.compressed"
+        comp.write_bytes(rf.compress(data))
+        subprocess.run([str(ref_extract), str(comp)], check=True, capture_output=True, cwd=d)
+        assert (d / "DECOMPRESSED_FILE").read_bytes() == data, name
+
+
+def test_jpeg_compress_size_matches_reference(jpeg_bytes):
+    blob = rf.compress(jpeg_bytes)
+    # Full-alphabet stress: 65,289 unique symbols; reference ground truth
+    # size from BASELINE.md (inflation case).
+    assert len(blob) == 3390172
