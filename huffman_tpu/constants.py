@@ -23,10 +23,11 @@ SYMBOL_BYTES = 2
 MAX_CODE_LEN = 32
 
 # Default number of symbols per independently-decodable block in the native
-# container. 1<<16 symbols = 128 KiB of input per block. Chosen so that
-# thousands of blocks are in flight for lane-parallel decode while per-block
-# offset-table overhead stays < 0.01%.
-DEFAULT_BLOCK_SYMBOLS = 1 << 16
+# container. 4096 symbols = 8 KiB of input per block: the decoder runs one
+# block per vector lane, so small blocks mean more lanes in flight and fewer
+# sequential bit-cursor steps, while the 4-byte/block offset overhead stays
+# at 0.05%.
+DEFAULT_BLOCK_SYMBOLS = 4096
 
 # Native container magic / version.
 NATIVE_MAGIC = 0x48545055  # "HTPU"

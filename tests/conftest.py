@@ -9,12 +9,18 @@ import os
 import subprocess
 from pathlib import Path
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The environment's TPU plugin force-overrides JAX_PLATFORMS at interpreter
+# start (sitecustomize), so the env var alone is not enough — update the
+# config after import, before any backend initializes.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest
 
