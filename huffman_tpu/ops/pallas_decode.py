@@ -1,0 +1,230 @@
+"""Pallas TPU kernel: lane-parallel Huffman decode over interleaved streams.
+
+This is the capability the reference lacks entirely (its decoder is a
+sequential CPU tree walk, Decompressor.cu:259-291) and the performance core
+of the framework.
+
+**Why interleaved streams.** A TPU has no per-lane random access to HBM,
+and XLA's generic gather tops out near 0.1 Gelem/s (measured on v5e) — far
+below a multi-GB/s target. What IS fast is Mosaic's tile-local dynamic
+gather along the lane dimension (~100 Gelem/s measured). So the container
+interleaves the 1024 per-block bitstreams of a *group* in exactly the order
+the decoder consumes 32-bit words — the encoder can compute that order in
+advance by simulating the decoder (a trick from interleaved entropy-coder
+design). The decoder then reads ONE sequential stream; at each step, the
+lanes that drained their buffer take the next words in lane order, and the
+only non-sequential access left is a gather from a small sliding window,
+served by the tile-local lane gather.
+
+**Decode protocol** (one step decodes one symbol in each of 1024 lanes; the
+encoder simulation in container/interleave.py must match it bit for bit):
+
+1. ``peek = bufA`` — the 64-bit buffer ``bufA:bufB`` is kept left-justified
+   at the bit cursor with >= 33 valid bits at every step start.
+2. canonical length: ``len = min(1 + count(peek >= lj_limit[i]), max_len)``
+   (31 broadcast compares against scalar boundaries).
+3. ``rank = base[len] + (peek >> (32-len))`` (u32-wrap exact);
+   ``symbol = sym_order[rank]`` by tile-local gather for alphabets up to
+   GATHER_MAX_ALPHABET, otherwise the kernel emits ranks and the caller
+   translates.
+4. shift the buffer left by ``len``; every lane left with < 33 bits refills
+   exactly one 32-bit word: its stream slot is ``head + prefix-rank`` of
+   the refill mask (prefix scan on the MXU via a strictly-lower-triangular
+   ones matmul), fetched from a 2048-word window sliced at ``head``.
+
+Initial state: words 0 and 1 of every lane occupy the first 2*1024 stream
+words (lane-major). Pad lanes (>= the real block count) start with a huge
+bit counter so they never take stream words — padding costs nothing.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import MAX_CODE_LEN
+
+LANES = 128
+SUBLANES = 8
+GROUP_LANES = SUBLANES * LANES  # 1024 streams per kernel instance
+PRELOAD_WORDS = 2               # words 0,1 of every lane head the stream
+WINDOW_ROWS = 16                # refill window: 16 rows x 128 = 2048 words
+GATHER_MAX_ALPHABET = 2048      # in-kernel rank->symbol translation limit
+REFILL_THRESHOLD = 33           # refill when valid bits drop below this
+
+
+def _lane_gather_i32(rows: jax.Array, idx: jax.Array) -> jax.Array:
+    """rows.reshape(-1)[idx] for rows (R,128) int32 and idx (8,128) int32
+    with values < R*128. R unrolled; each step is a native per-element lane
+    gather (measured ~35 Gelem/s at R=8)."""
+    r = idx >> 7
+    m = idx & 127
+    out = jnp.zeros(idx.shape, dtype=rows.dtype)
+    for q in range(rows.shape[0]):
+        row = jnp.broadcast_to(rows[q][None, :], idx.shape)
+        g = jnp.take_along_axis(row, m, axis=1)
+        out = jnp.where(r == q, g, out)
+    return out
+
+
+def _prefix_rank(mask: jax.Array, tril128: jax.Array):
+    """Exclusive prefix count of mask (8,128) in lane-id order
+    (id = sublane*128 + lane) plus the total, via MXU row scan + a 3-step
+    doubling fold over sublanes."""
+    m = mask.astype(jnp.float32)
+    within = jax.lax.dot_general(
+        m, tril128, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(jnp.int32)
+    row_tot = jnp.broadcast_to(
+        jnp.sum(m, axis=1, keepdims=True), mask.shape
+    )  # (8,128) float
+    sub = jax.lax.broadcasted_iota(jnp.int32, mask.shape, 0)
+    inc = row_tot
+    for sh in (1, 2, 4):
+        rolled = pltpu.roll(inc, sh, 0)
+        inc = inc + jnp.where(sub >= sh, rolled, 0.0)
+    row_off = (inc - row_tot).astype(jnp.int32)  # exclusive over sublanes
+    total = jnp.sum(m).astype(jnp.int32)
+    return within + row_off, total
+
+
+def _decode_kernel(
+    meta_ref,      # scalar-prefetch (ngroups, 4) i32: [max_len, n_real, translate, 0]
+    lj_ref,        # scalar-prefetch (MAX_CODE_LEN,) i32 (u32 boundary bits)
+    stream_ref,    # VMEM (stream_rows, 128) u32 — group's interleaved words
+    base_ref,      # VMEM (1, 128) u32 (base table padded into one row)
+    symtab_ref,    # VMEM (sym_rows, 128) i32 canonical symbol permutation
+    out_ref,       # VMEM (n_steps, 8, 128) i32 decoded symbols (or ranks)
+    *,
+    n_steps: int,
+):
+    g = pl.program_id(0)
+    max_len = meta_ref[g, 0]
+    n_real = meta_ref[g, 1]
+    translate = meta_ref[g, 2]
+
+    shape = (SUBLANES, LANES)
+    lane_id = (
+        jax.lax.broadcasted_iota(jnp.int32, shape, 0) * LANES
+        + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    )
+    is_pad = lane_id >= n_real
+
+    li = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+    lj = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    tril128 = (li < lj).astype(jnp.float32)  # strictly lower: earlier lanes
+
+    base_row = jnp.broadcast_to(
+        pltpu.bitcast(base_ref[0:1, :], jnp.int32), shape
+    )
+
+    bufA0 = stream_ref[0:SUBLANES, :]
+    bufB0 = stream_ref[SUBLANES : 2 * SUBLANES, :]
+    bits0 = jnp.where(is_pad, jnp.int32(1 << 30), jnp.int32(64))
+
+    def body(t, carry):
+        bufA, bufB, bits, head = carry
+        peek = bufA
+
+        length = jnp.ones(shape, jnp.int32)
+        for i in range(MAX_CODE_LEN - 1):
+            # lj bits stored as i32; value-wrap to u32 restores the boundary
+            length = length + (peek >= lj_ref[i].astype(jnp.uint32)).astype(jnp.int32)
+        length = jnp.minimum(length, max_len)
+
+        base_v = jnp.take_along_axis(base_row, length, axis=1)
+        rank = base_v + pltpu.bitcast(
+            peek >> ((32 - length).astype(jnp.uint32)), jnp.int32
+        )
+        sym = jax.lax.cond(
+            translate > 0,
+            lambda: _lane_gather_i32(
+                symtab_ref[:],
+                jnp.clip(rank, 0, symtab_ref.shape[0] * LANES - 1),
+            ),
+            lambda: rank,
+        )
+        out_ref[t] = sym
+
+        # consume
+        sh = length.astype(jnp.uint32)
+        inv = (jnp.uint32(32) - sh) & jnp.uint32(31)
+        full = length == 32
+        bufA2 = jnp.where(full, bufB, (bufA << sh) | (bufB >> inv))
+        # sh == 0 impossible (length >= 1); inv == 0 only when full.
+        bufA = jnp.where(length == 0, bufA, bufA2)
+        bufB = jnp.where(full, jnp.uint32(0), bufB << sh)
+        bits = bits - length
+
+        # refill
+        mask = bits < REFILL_THRESHOLD
+        k, total = _prefix_rank(mask, tril128)
+        window = pltpu.bitcast(
+            stream_ref[pl.ds(head >> 7, WINDOW_ROWS), :], jnp.int32
+        )
+        slot = (head & 127) + k
+        word = pltpu.bitcast(_lane_gather_i32(window, slot), jnp.uint32)
+        word = jnp.where(mask, word, jnp.uint32(0))
+        bpos = bits.astype(jnp.uint32)  # in [1, 32] for refilling lanes
+        addA = jnp.where(bpos < 32, word >> (bpos & jnp.uint32(31)), jnp.uint32(0))
+        addB = jnp.where(
+            bpos == 32, word, word << ((jnp.uint32(32) - bpos) & jnp.uint32(31))
+        )
+        bufA = jnp.where(mask, bufA | addA, bufA)
+        bufB = jnp.where(mask, bufB | addB, bufB)
+        bits = bits + jnp.where(mask, 32, 0)
+        head = head + total
+        return bufA, bufB, bits, head
+
+    head0 = jnp.int32(PRELOAD_WORDS * GROUP_LANES)
+    jax.lax.fori_loop(0, n_steps, body, (bufA0, bufB0, bits0, head0))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_steps", "stream_rows", "sym_rows", "interpret")
+)
+def decode_groups(
+    streams: jax.Array,   # (ngroups * stream_rows, 128) uint32
+    lj_limit: jax.Array,  # (MAX_CODE_LEN,) uint32
+    base: jax.Array,      # (MAX_CODE_LEN + 1,) uint32
+    symtab: jax.Array,    # (sym_rows * 128,) int32
+    meta: jax.Array,      # (ngroups, 4) int32: [max_len, n_real, translate, 0]
+    n_steps: int,
+    stream_rows: int,
+    sym_rows: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Decode all groups; returns (ngroups * n_steps, 8, 128) int32 where
+    row g*n_steps+t holds step t of group g (lane (s,l) = block
+    g*1024 + s*128 + l)."""
+    ngroups = streams.shape[0] // stream_rows
+    lj_i32 = jax.lax.bitcast_convert_type(lj_limit, jnp.int32)
+    base_pad = jnp.zeros((1, LANES), jnp.uint32).at[0, : MAX_CODE_LEN + 1].set(base)
+    symtab2 = symtab.reshape(sym_rows, LANES)
+
+    kernel = functools.partial(_decode_kernel, n_steps=n_steps)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # meta, lj
+        grid=(ngroups,),
+        in_specs=[
+            pl.BlockSpec((stream_rows, 128), lambda g, *_: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda g, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sym_rows, 128), lambda g, *_: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (n_steps, SUBLANES, LANES), lambda g, *_: (g, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (ngroups * n_steps, SUBLANES, LANES), jnp.int32
+        ),
+        interpret=interpret,
+    )(meta, lj_i32, streams, base_pad, symtab2)
