@@ -23,11 +23,10 @@ SYMBOL_BYTES = 2
 MAX_CODE_LEN = 32
 
 # Default number of symbols per independently-decodable block in the native
-# container. 4096 symbols = 8 KiB of input per block: the decoder runs one
-# block per vector lane, so small blocks mean more lanes in flight and fewer
-# sequential bit-cursor steps, while the 4-byte/block offset overhead stays
-# at 0.05%.
-DEFAULT_BLOCK_SYMBOLS = 4096
+# container (see container/block_format.py). 512 symbols = 1 KiB of input
+# per block: the decoder runs one block per vector lane, so small blocks
+# mean more lanes in flight and fewer sequential bit-cursor steps.
+DEFAULT_BLOCK_SYMBOLS = 512
 
 # Native container magic / version.
 NATIVE_MAGIC = 0x48545055  # "HTPU"

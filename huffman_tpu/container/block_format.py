@@ -3,16 +3,19 @@
 The reference's container is one continuous bitstream, which forces its
 decoder to walk the payload serially (Decompressor.cu:259-291). The native
 format instead encodes fixed-size *symbol blocks* independently (SURVEY.md
-§7 architecture decision): each block's bitstream starts word-aligned, the
-header carries per-block bit lengths, and the canonical codebook is stored
-as lengths only (counts-per-length + symbols in canonical order). Every
-block decodes in parallel — one vector lane per block on TPU.
+§7 architecture decision) and ships, by default, the **group-interleaved**
+payload (version 2) consumed by the Pallas lane-parallel decoder
+(ops/pallas_decode.py): the per-block bitstreams of each 1024-block group
+are merged into one sequential word stream in decoder-consumption order.
+A version-1 payload (independent word-aligned per-block slabs + per-block
+bit table, decoded by the XLA lane decoder in ops/decode.py) remains
+supported for cross-validation and as a simpler interchange profile.
 
-Layout (little-endian, byte-aligned):
+Common layout (little-endian, byte-aligned):
 
     offset  size  field
     0       4     magic "HTPU" (u32 = 0x48545055)
-    4       1     version (1)
+    4       1     version (1 = block slabs, 2 = interleaved groups)
     5       1     flags (bit0: odd input length)
     6       1     raw last byte (if odd, else 0)
     7       1     max code length
@@ -20,14 +23,20 @@ Layout (little-endian, byte-aligned):
     16      4     symbols per block (u32)
     20      4     number of blocks (u32)
     24      4     unique symbol count (u32)
-    28      4     CRC32 of the original data (u32)  -- integrity, a
-                  capability the reference format lacks entirely
+    28      4     CRC32 of the original data (u32)  -- integrity, absent
+                  from the reference format entirely
     32      128   count of codes per length 1..32 (u32[32])
     160     2n    symbols in canonical order (u16[n])
-    ...     4b    per-block payload bit lengths (u32[num_blocks])
-    ...           payload: each block's stream, zero-padded to a 4-byte
-                  boundary, concatenated in order (big-endian u32 words,
-                  MSB-first bits)
+
+version 1 tail:
+    u32[num_blocks] per-block payload bit lengths
+    payload: per-block streams zero-padded to 4-byte boundaries,
+    big-endian u32 words
+
+version 2 tail:
+    u32 ngroups
+    u32[ngroups] per-group word counts
+    payload: per-group interleaved streams, little-endian u32 word values
 """
 
 from __future__ import annotations
@@ -43,17 +52,11 @@ from ..constants import (
     MAX_CODE_LEN,
     MAX_SYMBOLS,
     NATIVE_MAGIC,
-    NATIVE_VERSION,
 )
 from .reference_format import bytes_to_symbols, histogram_host, symbols_to_bytes
 
 _HEADER_BYTES = 32
 _COUNTS_BYTES = 4 * MAX_CODE_LEN
-
-
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
-
 
 def _bucket_words(w: int) -> int:
     """Round slab width up to a coarse bucket to bound jit recompiles."""
@@ -84,55 +87,45 @@ def _codebook_from_header(blob: bytes, n_unique: int) -> tuple[Codebook, int]:
     return Codebook.from_lengths(lengths), off
 
 
-def compress(
-    data: bytes,
-    backend: str | None = None,
-    block_symbols: int = DEFAULT_BLOCK_SYMBOLS,
-    codebook: Codebook | None = None,
-) -> bytes:
-    symbols, is_odd, last_byte = bytes_to_symbols(data)
-    n_pairs = symbols.size
-    B = block_symbols
-    nblocks = max((n_pairs + B - 1) // B, 0)
-
-    freqs = histogram_host(symbols) if codebook is None else None
-    if codebook is None:
-        codebook = Codebook.from_frequencies(freqs)
-
-    if backend in (None, "jax") and n_pairs:
-        slab_np, block_bits = _encode_blocks_jax(symbols, codebook, nblocks, B)
-    else:
-        slab_np, block_bits = _encode_blocks_numpy(symbols, codebook, nblocks, B)
-
+def _build_header(version, data, is_odd, last_byte, cb, B, nblocks) -> bytearray:
     header = bytearray(_HEADER_BYTES)
     header[0:4] = int(NATIVE_MAGIC).to_bytes(4, "little")
-    header[4] = NATIVE_VERSION
+    header[4] = version
     header[5] = 1 if is_odd else 0
     header[6] = last_byte
-    header[7] = codebook.max_len
+    header[7] = cb.max_len
     header[8:16] = len(data).to_bytes(8, "little")
     header[16:20] = B.to_bytes(4, "little")
     header[20:24] = nblocks.to_bytes(4, "little")
-    header[24:28] = codebook.n_unique.to_bytes(4, "little")
+    header[24:28] = cb.n_unique.to_bytes(4, "little")
     header[28:32] = (zlib.crc32(data) & 0xFFFFFFFF).to_bytes(4, "little")
-
-    out = bytearray(bytes(header))
-    out += _codebook_to_header(codebook)
-    out += block_bits.astype("<u4").tobytes()
-
-    if nblocks:
-        # Trim each slab row to its word count and concatenate (vectorized
-        # gather of the kept words).
-        word_counts = (block_bits + 31) // 32
-        W = slab_np.shape[1]
-        keep = np.repeat(np.arange(nblocks, dtype=np.int64), word_counts) * W
-        within = np.concatenate([np.arange(c, dtype=np.int64) for c in word_counts])
-        out += slab_np.reshape(-1)[keep + within].astype(">u4").tobytes()
-    return bytes(out)
+    return header
 
 
-def _encode_blocks_numpy(symbols, codebook, nblocks, B):
-    block_bits = np.zeros(nblocks, dtype=np.int64)
+def _use_device() -> bool:
+    try:
+        import jax
+
+        return jax.devices()[0].platform != "cpu"
+    except Exception:
+        return False
+
+
+# --------------------------------------------------------------------------
+# shared encode front half: per-lane packed slabs
+# --------------------------------------------------------------------------
+
+def _encode_slab(symbols, codebook, nblocks, B, backend):
+    """Pack every block's codewords into an (nblocks, W) word slab plus
+    per-block bit counts and the per-position length table."""
+    if backend == "numpy" or not _use_device():
+        return _encode_slab_numpy(symbols, codebook, nblocks, B)
+    return _encode_slab_jax(symbols, codebook, nblocks, B)
+
+
+def _encode_slab_numpy(symbols, codebook, nblocks, B):
+    lens_full = np.zeros(nblocks * B, dtype=np.int32)
+    block_bits = np.zeros(max(nblocks, 1), dtype=np.int64)
     rows = []
     for b in range(nblocks):
         blk = symbols[b * B : (b + 1) * B]
@@ -140,14 +133,15 @@ def _encode_blocks_numpy(symbols, codebook, nblocks, B):
         words, nbits = pack_codes(codes, lens)
         rows.append(words)
         block_bits[b] = nbits
+        lens_full[b * B : b * B + blk.size] = lens
     W = max((r.size for r in rows), default=1)
     slab = np.zeros((nblocks, W), dtype=np.uint32)
     for b, r in enumerate(rows):
         slab[b, : r.size] = r
-    return slab, block_bits
+    return slab, block_bits, lens_full.reshape(nblocks, B)
 
 
-def _encode_blocks_jax(symbols, codebook, nblocks, B):
+def _encode_slab_jax(symbols, codebook, nblocks, B):
     import jax.numpy as jnp
 
     from ..ops import encode as enc
@@ -158,16 +152,100 @@ def _encode_blocks_jax(symbols, codebook, nblocks, B):
     padded[: symbols.size] = symbols
     sym_dev = jnp.asarray(padded).reshape(nblocks, B)
     valid = (
-        jnp.arange(nblocks * B, dtype=jnp.int32).reshape(nblocks, B)
-        < symbols.size
+        jnp.arange(nblocks * B, dtype=jnp.int32).reshape(nblocks, B) < symbols.size
     )
     codes, lens = enc.gather_codes(sym_dev, t.enc_codes, t.enc_lens, valid)
     offsets, block_bits = enc.block_offsets(lens)
     block_bits_np = np.asarray(block_bits).astype(np.int64)
     W = _bucket_words(int((block_bits_np.max(initial=1) + 31) // 32))
     slab = enc.pack_blocks(codes, lens, offsets, W)
-    return np.asarray(slab), block_bits_np
+    return np.asarray(slab), block_bits_np, np.asarray(lens)
 
+
+# --------------------------------------------------------------------------
+# compress
+# --------------------------------------------------------------------------
+
+def compress(
+    data: bytes,
+    backend: str | None = None,
+    block_symbols: int = DEFAULT_BLOCK_SYMBOLS,
+    codebook: Codebook | None = None,
+    mode: str = "interleaved",
+) -> bytes:
+    symbols, is_odd, last_byte = bytes_to_symbols(data)
+    n_pairs = symbols.size
+    B = block_symbols
+    nblocks = (n_pairs + B - 1) // B
+
+    if codebook is None:
+        codebook = Codebook.from_frequencies(histogram_host(symbols))
+
+    if mode == "interleaved":
+        return _compress_v2(data, symbols, is_odd, last_byte, codebook, B, nblocks, backend)
+    if mode == "blocks":
+        return _compress_v1(data, symbols, is_odd, last_byte, codebook, B, nblocks, backend)
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+def _compress_v1(data, symbols, is_odd, last_byte, cb, B, nblocks, backend):
+    slab, block_bits, _ = (
+        _encode_slab(symbols, cb, nblocks, B, backend)
+        if nblocks
+        else (np.zeros((0, 1), np.uint32), np.zeros(0, np.int64), None)
+    )
+    out = bytearray(_build_header(1, data, is_odd, last_byte, cb, B, nblocks))
+    out += _codebook_to_header(cb)
+    out += block_bits[:nblocks].astype("<u4").tobytes()
+    if nblocks:
+        word_counts = (block_bits[:nblocks] + 31) // 32
+        W = slab.shape[1]
+        keep = np.repeat(np.arange(nblocks, dtype=np.int64), word_counts) * W
+        within = np.concatenate([np.arange(c, dtype=np.int64) for c in word_counts])
+        out += slab.reshape(-1)[keep + within].astype(">u4").tobytes()
+    return bytes(out)
+
+
+def _compress_v2(data, symbols, is_odd, last_byte, cb, B, nblocks, backend):
+    from . import interleave as il
+    from ..ops.pallas_decode import GROUP_LANES
+
+    out = bytearray(_build_header(2, data, is_odd, last_byte, cb, B, nblocks))
+    out += _codebook_to_header(cb)
+
+    if nblocks == 0:
+        out += (0).to_bytes(4, "little")
+        return bytes(out)
+
+    n_lanes = (nblocks + GROUP_LANES - 1) // GROUP_LANES * GROUP_LANES
+    slab, block_bits, lens = _encode_slab(symbols, cb, n_lanes, B, backend)
+    present = cb.lengths[cb.lengths > 0]
+    min_len = int(present.min()) if present.size else 1
+    eff = il.effective_lengths(lens, symbols.size, min_len, n_lanes, B)
+    streams = il.build_interleaved_streams(slab, eff, nblocks)
+
+    # Strip pad-lane preload zeros: the stream's first 2*GROUP_LANES words
+    # are w0[lane 0..1023], w1[lane 0..1023]; only the first n_real of each
+    # half carry data. The parser reinserts the zeros.
+    stripped = []
+    for g, s in enumerate(streams):
+        n_real = max(0, min(GROUP_LANES, nblocks - g * GROUP_LANES))
+        stripped.append(
+            np.concatenate(
+                [s[:n_real], s[GROUP_LANES : GROUP_LANES + n_real], s[2 * GROUP_LANES :]]
+            )
+        )
+    out += len(stripped).to_bytes(4, "little")
+    counts = np.array([s.size for s in stripped], dtype="<u4")
+    out += counts.tobytes()
+    for s in stripped:
+        out += s.astype("<u4").tobytes()
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# parse + decompress
+# --------------------------------------------------------------------------
 
 class ParsedContainer:
     """Parsed native container header + payload views (host side)."""
@@ -175,7 +253,8 @@ class ParsedContainer:
     def __init__(self, blob: bytes):
         if len(blob) < _HEADER_BYTES or int.from_bytes(blob[0:4], "little") != NATIVE_MAGIC:
             raise ValueError("not an HTPU container")
-        if blob[4] != NATIVE_VERSION:
+        self.version = blob[4]
+        if self.version not in (1, 2):
             raise ValueError(f"unsupported container version {blob[4]}")
         self.is_odd = bool(blob[5] & 1)
         self.last_byte = blob[6]
@@ -186,14 +265,42 @@ class ParsedContainer:
         self.n_unique = int.from_bytes(blob[24:28], "little")
         self.crc32 = int.from_bytes(blob[28:32], "little")
         self.codebook, off = _codebook_from_header(blob, self.n_unique)
-        self.block_bits = np.frombuffer(
-            blob[off : off + 4 * self.num_blocks], dtype="<u4"
-        ).astype(np.int64)
-        off += 4 * self.num_blocks
-        self.payload = blob[off:]
+
+        if self.version == 1:
+            self.block_bits = np.frombuffer(
+                blob[off : off + 4 * self.num_blocks], dtype="<u4"
+            ).astype(np.int64)
+            off += 4 * self.num_blocks
+            self.payload = blob[off:]
+        else:
+            self.ngroups = int.from_bytes(blob[off : off + 4], "little")
+            off += 4
+            self.group_words = np.frombuffer(
+                blob[off : off + 4 * self.ngroups], dtype="<u4"
+            ).astype(np.int64)
+            off += 4 * self.ngroups
+            total = int(self.group_words.sum())
+            raw = blob[off : off + 4 * total]
+            if len(raw) != 4 * total:
+                raise ValueError("truncated container payload")
+            words = np.frombuffer(raw, dtype="<u4")
+            parts = np.split(words, np.cumsum(self.group_words)[:-1])
+            # Reinsert the pad-lane preload zeros stripped by the writer.
+            from ..ops.pallas_decode import GROUP_LANES
+
+            self.streams = []
+            for g, s in enumerate(parts):
+                n_real = max(0, min(GROUP_LANES, self.num_blocks - g * GROUP_LANES))
+                w0 = np.zeros(GROUP_LANES, dtype=np.uint32)
+                w1 = np.zeros(GROUP_LANES, dtype=np.uint32)
+                w0[:n_real] = s[:n_real]
+                w1[:n_real] = s[n_real : 2 * n_real]
+                self.streams.append(
+                    np.concatenate([w0, w1, s[2 * n_real :].astype(np.uint32)])
+                )
 
     def slab(self, words_per_block: int | None = None) -> np.ndarray:
-        """Re-slab the tightly packed payload into (nblocks, W) rows."""
+        """v1: re-slab the tightly packed payload into (nblocks, W) rows."""
         word_counts = (self.block_bits + 31) // 32
         W = words_per_block or _bucket_words(int(word_counts.max(initial=1)))
         words = np.frombuffer(
@@ -214,11 +321,10 @@ def decompress(blob: bytes, backend: str | None = None, verify_crc: bool = True)
     if n_pairs == 0:
         data = symbols_to_bytes(np.zeros(0, np.uint16), c.is_odd, c.last_byte)
     else:
-        slab = c.slab()
-        if backend in (None, "jax"):
-            symbols = _decode_blocks_jax(slab, c)
+        if c.version == 1:
+            symbols = _decode_v1(c, backend)
         else:
-            symbols = _decode_blocks_numpy(slab, c)
+            symbols = _decode_v2(c, backend)
         data = symbols_to_bytes(
             symbols[:n_pairs].astype(np.uint16), c.is_odd, c.last_byte
         )
@@ -227,7 +333,16 @@ def decompress(blob: bytes, backend: str | None = None, verify_crc: bool = True)
     return data
 
 
-def _decode_blocks_jax(slab: np.ndarray, c: ParsedContainer) -> np.ndarray:
+def _decode_v1(c: ParsedContainer, backend) -> np.ndarray:
+    slab = c.slab()
+    if backend == "numpy" or (backend is None and not _use_device()):
+        out = np.zeros((c.num_blocks, c.block_symbols), dtype=np.uint16)
+        total = (c.original_size - (1 if c.is_odd else 0)) // 2
+        for b in range(c.num_blocks):
+            n = min(c.block_symbols, total - b * c.block_symbols)
+            out[b, :n] = c.codebook.decode_stream_host(slab[b], 0, n)
+        return out.reshape(-1)
+
     import jax.numpy as jnp
 
     from ..ops import decode as dec
@@ -240,10 +355,58 @@ def _decode_blocks_jax(slab: np.ndarray, c: ParsedContainer) -> np.ndarray:
     return np.asarray(out).reshape(-1)
 
 
-def _decode_blocks_numpy(slab: np.ndarray, c: ParsedContainer) -> np.ndarray:
-    out = np.zeros((c.num_blocks, c.block_symbols), dtype=np.uint16)
-    total = (c.original_size - (1 if c.is_odd else 0)) // 2
-    for b in range(c.num_blocks):
-        n = min(c.block_symbols, total - b * c.block_symbols)
-        out[b, :n] = c.codebook.decode_stream_host(slab[b], 0, n)
-    return out.reshape(-1)
+def _decode_v2(c: ParsedContainer, backend) -> np.ndarray:
+    from . import interleave as il
+    from ..ops.pallas_decode import GATHER_MAX_ALPHABET, GROUP_LANES
+
+    B = c.block_symbols
+    if backend == "numpy" or (backend is None and not _use_device()):
+        outs = []
+        for g, s in enumerate(c.streams):
+            n_real = max(0, min(GROUP_LANES, c.num_blocks - g * GROUP_LANES))
+            outs.append(il.decode_interleaved_numpy(s, c.codebook, B, n_real))
+        # (ngroups, B, GROUP_LANES) -> lane-major symbol order
+        arr = np.stack(outs)  # (g, t, lane)
+        return arr.transpose(0, 2, 1).reshape(-1)
+
+    import jax.numpy as jnp
+
+    from ..ops import pallas_decode as pd
+
+    cb = c.codebook
+    stacked, _ = il.pad_streams(list(c.streams))
+    rows_per = stacked.shape[0] // c.ngroups
+    translate = 1 if 0 < cb.n_unique <= GATHER_MAX_ALPHABET else 0
+    sym_rows = 1
+    while sym_rows * 128 < max(cb.n_unique, 1):
+        sym_rows <<= 1
+    if not translate:
+        sym_rows = 1
+    symtab = np.zeros(sym_rows * 128, dtype=np.int32)
+    if translate:
+        symtab[: cb.n_unique] = cb.sym_order
+    meta = np.zeros((c.ngroups, 4), dtype=np.int32)
+    meta[:, 0] = max(cb.max_len, 1)
+    for g in range(c.ngroups):
+        meta[g, 1] = max(0, min(GROUP_LANES, c.num_blocks - g * GROUP_LANES))
+    meta[:, 2] = translate
+
+    out = pd.decode_groups(
+        jnp.asarray(stacked),
+        jnp.asarray(cb.lj_limit),
+        jnp.asarray((cb.base & 0xFFFFFFFF).astype(np.uint32)),
+        jnp.asarray(symtab),
+        jnp.asarray(meta),
+        B,
+        rows_per,
+        sym_rows,
+        # Mosaic only runs on TPU; an explicit jax backend on CPU (tests)
+        # exercises the kernel through the interpreter.
+        interpret=not _use_device(),
+    )
+    # (g*B+t, s, l) -> block-major (g, s, l, t)
+    arr = out.reshape(c.ngroups, B, 8, 128).transpose(0, 2, 3, 1).reshape(-1)
+    syms = np.asarray(arr)
+    if not translate and cb.n_unique:
+        syms = cb.sym_order.astype(np.int64)[np.clip(syms, 0, cb.n_unique - 1)]
+    return syms

@@ -54,7 +54,7 @@ SUBLANES = 8
 GROUP_LANES = SUBLANES * LANES  # 1024 streams per kernel instance
 PRELOAD_WORDS = 2               # words 0,1 of every lane head the stream
 WINDOW_ROWS = 16                # refill window: 16 rows x 128 = 2048 words
-GATHER_MAX_ALPHABET = 2048      # in-kernel rank->symbol translation limit
+GATHER_MAX_ALPHABET = 4096      # in-kernel rank->symbol translation limit
 REFILL_THRESHOLD = 33           # refill when valid bits drop below this
 
 

@@ -53,7 +53,12 @@ def test_native_beats_reference_size(romeo_bytes):
 def test_crc_detects_corruption():
     data = b"payload payload payload " * 100
     blob = bytearray(ht.compress(data))
-    blob[-3] ^= 0x40
+    # Flip a bit in the first payload word (the container tail can hold
+    # trailing garbage-refill words a decoder never consumes, where a flip
+    # would be invisible by construction).
+    n_unique = int.from_bytes(blob[24:28], "little")
+    payload_off = 32 + 128 + 2 * n_unique + 4 + 4  # header+counts+syms+ngroups+1 count
+    blob[payload_off] ^= 0x40
     with pytest.raises(ValueError, match="CRC|corrupt"):
         ht.decompress(bytes(blob))
 

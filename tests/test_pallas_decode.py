@@ -1,0 +1,108 @@
+"""Pallas decode kernel vs its NumPy twin (interpreter mode on CPU).
+
+The kernel and the encoder-side simulation in container/interleave.py must
+agree bit for bit — including garbage lanes — or streams desynchronize.
+"""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+import jax
+
+from huffman_tpu.bitio import pack_codes
+from huffman_tpu.codebook import Codebook
+from huffman_tpu.constants import MAX_SYMBOLS
+from huffman_tpu.container import interleave as il
+from huffman_tpu.ops import pallas_decode as pd
+
+
+def _setup(seed, n_real, B, alphabet_size, skew=True):
+    rng = np.random.default_rng(seed)
+    n_lanes = (n_real + pd.GROUP_LANES - 1) // pd.GROUP_LANES * pd.GROUP_LANES
+    n_pairs = n_real * B - rng.integers(0, B)
+    alphabet = rng.choice(MAX_SYMBOLS, size=alphabet_size, replace=False).astype(np.uint16)
+    if skew:
+        p = 1.0 / np.arange(1, alphabet_size + 1) ** 1.2
+        p /= p.sum()
+        symbols = rng.choice(alphabet, size=n_pairs, p=p).astype(np.uint16)
+    else:
+        symbols = rng.choice(alphabet, size=n_pairs).astype(np.uint16)
+    cb = Codebook.from_frequencies(np.bincount(symbols, minlength=MAX_SYMBOLS))
+
+    padded = np.zeros(n_lanes * B, dtype=np.uint16)
+    padded[:n_pairs] = symbols
+    lens_all = cb.lengths[padded].astype(np.int64)
+    lens_all[n_pairs:] = 0
+    codes_all = cb.codes[padded]
+    rows, maxw = [], 1
+    for l in range(n_real):
+        w, _ = pack_codes(codes_all[l * B : (l + 1) * B], lens_all[l * B : (l + 1) * B])
+        rows.append(w)
+        maxw = max(maxw, w.size)
+    slab = np.zeros((n_lanes, maxw), dtype=np.uint32)
+    for i, r in enumerate(rows):
+        slab[i, : r.size] = r
+
+    min_len = int(cb.lengths[cb.lengths > 0].min())
+    eff = il.effective_lengths(lens_all.reshape(n_lanes, B), n_pairs, min_len, n_lanes, B)
+    streams = il.build_interleaved_streams(slab, eff, n_real)
+    return symbols, n_pairs, cb, streams, n_lanes
+
+
+def _run_kernel(cb, streams, n_real, B, translate=True):
+    stacked, _ = il.pad_streams(streams)
+    ngroups = len(streams)
+    rows_per = stacked.shape[0] // ngroups
+    sym_rows = 1
+    while sym_rows * 128 < max(cb.n_unique, 1):
+        sym_rows <<= 1
+    symtab = np.zeros(sym_rows * 128, dtype=np.int32)
+    symtab[: cb.n_unique] = cb.sym_order
+    meta = np.zeros((ngroups, 4), dtype=np.int32)
+    meta[:, 0] = max(cb.max_len, 1)
+    for g in range(ngroups):
+        meta[g, 1] = max(0, min(pd.GROUP_LANES, n_real - g * pd.GROUP_LANES))
+    meta[:, 2] = 1 if translate else 0
+    out = pd.decode_groups(
+        jnp.asarray(stacked),
+        jnp.asarray(cb.lj_limit),
+        jnp.asarray((cb.base & 0xFFFFFFFF).astype(np.uint32)),
+        jnp.asarray(symtab),
+        jnp.asarray(meta),
+        B,
+        rows_per,
+        sym_rows,
+        interpret=jax.devices()[0].platform == "cpu",
+    )
+    return np.asarray(out), ngroups
+
+
+@pytest.mark.parametrize(
+    "seed,n_real,alphabet", [(0, 700, 50), (1, 1500, 600), (2, 1024, 2)]
+)
+def test_kernel_matches_twin_and_input(seed, n_real, alphabet):
+    B = 32
+    symbols, n_pairs, cb, streams, n_lanes = _setup(seed, n_real, B, alphabet)
+    out, ngroups = _run_kernel(cb, streams, n_real, B)
+    dec = (
+        out.reshape(ngroups, B, 8, 128).transpose(0, 2, 3, 1).reshape(-1)[:n_pairs]
+    )
+    np.testing.assert_array_equal(dec, symbols.astype(np.int32))
+    # full equality vs the twin, garbage lanes included
+    for g in range(ngroups):
+        tw = il.decode_interleaved_numpy(
+            streams[g], cb, B, max(0, min(pd.GROUP_LANES, n_real - g * pd.GROUP_LANES))
+        )
+        np.testing.assert_array_equal(out.reshape(ngroups, B, -1)[g], tw)
+
+
+def test_kernel_rank_mode():
+    """translate=0 emits canonical ranks for host-side translation."""
+    B = 16
+    symbols, n_pairs, cb, streams, _ = _setup(5, 600, B, 300)
+    out, ngroups = _run_kernel(cb, streams, 600, B, translate=False)
+    ranks = out.reshape(ngroups, B, 8, 128).transpose(0, 2, 3, 1).reshape(-1)[:n_pairs]
+    np.testing.assert_array_equal(
+        cb.sym_order[ranks], symbols
+    )
