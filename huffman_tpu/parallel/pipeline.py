@@ -1,0 +1,164 @@
+"""Distributed compression pipeline: SPMD over a device mesh.
+
+The reference is strictly single-process / single-GPU — its only
+"communication" is a hand-rolled grid-wide barrier through global memory
+(reference: gpuHuffmanConstruction.h:78-135; SURVEY.md §2 parallelism
+accounting). The TPU framework adds the distribution layer the north star
+requires, the idiomatic way: a 1-D data-parallel mesh, ``shard_map`` over
+blocks, and XLA collectives over ICI/DCN —
+
+* **histogram**: each device histograms its shard, ``psum`` over the mesh
+  (the all-reduce rides ICI within a slice, DCN across hosts when the mesh
+  spans processes via ``jax.distributed``);
+* **codebook**: built from the replicated histogram (host two-queue build;
+  inside the jit step the canonical tables are replicated operands);
+* **encode**: embarrassingly parallel over block shards — gather, per-block
+  scan, bit-pack, all local; per-block bit counts are ``all_gather``-ed for
+  ordered container assembly (mirroring the reference's host write phase,
+  Compressor.cu:588, but across devices);
+* **decode**: groups shard data-parallel; each device runs the lane decoder
+  on its shard.
+
+Multi-host: call ``jax.distributed.initialize()`` before building the mesh
+and these functions work unchanged — the mesh simply spans processes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..constants import MAX_SYMBOLS
+from ..ops import decode as dec
+from ..ops import encode as enc
+from ..ops import histogram as hist
+
+
+def data_mesh(devices=None, axis: str = "dp") -> Mesh:
+    """1-D data-parallel mesh over all (or the given) devices."""
+    devices = np.array(devices if devices is not None else jax.devices())
+    return Mesh(devices, (axis,))
+
+
+def distributed_histogram(mesh: Mesh, symbols: jax.Array, axis: str = "dp") -> jax.Array:
+    """All-reduced dense histogram of a block-sharded symbol array.
+
+    ``symbols`` is (nshards*chunk,) int32, sharded on its leading axis; the
+    result is the full-corpus histogram, replicated on every device.
+    """
+
+    n = mesh.shape[axis]
+    pad = (-symbols.shape[0]) % n
+    if pad:
+        # Padding routes to the overflow bin that histogram_scatter drops.
+        symbols = jnp.concatenate(
+            [symbols, jnp.full(pad, MAX_SYMBOLS, symbols.dtype)]
+        )
+
+    def local(sym):
+        return jax.lax.psum(hist.histogram_scatter(sym), axis)
+
+    fn = shard_map(local, mesh=mesh, in_specs=P(axis), out_specs=P())
+    return jax.jit(fn)(symbols)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "axis", "words_per_block")
+)
+def distributed_encode(
+    mesh: Mesh,
+    symbols: jax.Array,      # (nblocks, B) int32, padded; sharded on axis 0
+    valid: jax.Array,        # (nblocks, B) bool
+    enc_codes: jax.Array,    # replicated tables
+    enc_lens: jax.Array,
+    words_per_block: int,
+    axis: str = "dp",
+):
+    """Each device packs its block shard; block bit counts are all-gathered
+    (the collective that orders container assembly). Returns (slab sharded
+    on blocks, block_bits replicated)."""
+
+    def local(sym, val, codes_t, lens_t):
+        codes, lens = enc.gather_codes(sym, codes_t, lens_t, val)
+        offsets, bits = enc.block_offsets(lens)
+        slab = enc.pack_blocks(codes, lens, offsets, words_per_block)
+        all_bits = jax.lax.all_gather(bits, axis, tiled=True)
+        return slab, all_bits
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(), P()),
+        out_specs=(P(axis, None), P()),
+        check_vma=False,
+    )
+    return fn(symbols, valid, enc_codes, enc_lens)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "axis", "n_steps"))
+def distributed_decode(
+    mesh: Mesh,
+    slab: jax.Array,       # (nblocks, W) uint32 sharded on axis 0
+    lj_limit: jax.Array,
+    base: jax.Array,
+    sym_order: jax.Array,
+    max_len: jax.Array,
+    n_steps: int,
+    axis: str = "dp",
+):
+    """Block-sharded lane decode (XLA decoder; the Pallas group decoder
+    shards the same way on TPU meshes)."""
+
+    def local(s, lj, b, so, ml):
+        return dec.decode_blocks(s, lj, b, so, n_steps, ml[0])
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(), P(), P(), P()),
+        out_specs=P(axis, None),
+        check_vma=False,
+    )
+    return fn(slab, lj_limit, base, sym_order, max_len.reshape(1))
+
+
+def compress_decompress_step(mesh: Mesh, axis: str = "dp"):
+    """The framework's full distributed step (the analog of a framework's
+    'training step' for the graft dry run): histogram with psum, encode
+    with all_gather, decode, and a correctness reduction — one jit, real
+    collectives, shardable over any 1-D mesh."""
+
+    def step(symbols, valid, enc_codes, enc_lens, lj, base, sym_order, max_len, W: int, B: int):
+        def local(sym, val, codes_t, lens_t, lj_t, base_t, so_t, ml_t):
+            hist_local = jax.lax.psum(
+                hist.histogram_scatter(jnp.where(val, sym, MAX_SYMBOLS).reshape(-1)),
+                axis,
+            )
+            codes, lens = enc.gather_codes(sym, codes_t, lens_t, val)
+            offsets, bits = enc.block_offsets(lens)
+            slab = enc.pack_blocks(codes, lens, offsets, W)
+            decoded = dec.decode_blocks(slab, lj_t, base_t, so_t, B, ml_t[0])
+            ok_local = jnp.all(jnp.where(val, decoded == sym, True))
+            ok = jax.lax.pmin(ok_local.astype(jnp.int32), axis)
+            all_bits = jax.lax.all_gather(bits, axis, tiled=True)
+            return hist_local, slab, all_bits, ok
+
+        fn = shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                P(axis, None), P(axis, None), P(), P(), P(), P(), P(), P(),
+            ),
+            out_specs=(P(), P(axis, None), P(), P()),
+            # all_gather/psum outputs ARE replicated; the static varying-
+            # axis inference can't see through the gather, so disable it.
+            check_vma=False,
+        )
+        return fn(symbols, valid, enc_codes, enc_lens, lj, base, sym_order, max_len.reshape(1))
+
+    return step

@@ -57,6 +57,25 @@ def test_pack_codes_zero_length_entries():
     assert u32_msb_to_bytes(words, nbits) == bytes([0b10100000])
 
 
+def test_pack_codes_blocked_matches_per_block_pack():
+    rng = np.random.default_rng(7)
+    nblocks, B = 5, 64
+    lengths = rng.integers(0, 33, (nblocks, B))
+    codes = np.array(
+        [[rng.integers(0, 1 << l) if l else 0 for l in row] for row in lengths],
+        dtype=np.uint64,
+    )
+    from huffman_tpu.bitio import pack_codes_blocked
+
+    W = int((lengths.sum(axis=1).max() + 31) // 32) + 1
+    slab, bits = pack_codes_blocked(codes, lengths, W)
+    for b in range(nblocks):
+        words, nbits = pack_codes(codes[b], lengths[b])
+        assert bits[b] == nbits
+        np.testing.assert_array_equal(slab[b, : words.size], words)
+        assert not slab[b, words.size :].any()
+
+
 def test_bytes_u32_roundtrip():
     data = bytes(range(1, 14))
     words = bytes_to_u32_msb(data)
