@@ -20,7 +20,14 @@ from .container import reference_format
 
 def compress_reference(data: bytes, backend: str | None = None) -> bytes:
     """Compress to the reference ``.compressed`` container format."""
-    del backend  # host path for now; the jit pipeline plugs in via ops/
+    if backend in (None, "native"):
+        try:
+            from .runtime import native
+
+            if native.available():
+                return native.compress_reference(data)
+        except ImportError:
+            pass
     return reference_format.compress(data)
 
 

@@ -218,7 +218,7 @@ def _compress_v2(data, symbols, is_odd, last_byte, cb, B, nblocks, backend):
     present = cb.lengths[cb.lengths > 0]
     min_len = int(present.min()) if present.size else 1
     eff = il.effective_lengths(lens, symbols.size, min_len, n_lanes, B)
-    streams = il.build_interleaved_streams(slab, eff, nblocks)
+    streams = il.build_streams(slab, eff, nblocks)
 
     # Strip pad-lane preload zeros: the stream's first 2*GROUP_LANES words
     # are w0[lane 0..1023], w1[lane 0..1023]; only the first n_real of each
@@ -360,7 +360,7 @@ def _decode_v2(c: ParsedContainer, backend) -> np.ndarray:
         outs = []
         for g, s in enumerate(c.streams):
             n_real = max(0, min(GROUP_LANES, c.num_blocks - g * GROUP_LANES))
-            outs.append(il.decode_interleaved_numpy(s, c.codebook, B, n_real))
+            outs.append(il.decode_interleaved(s, c.codebook, B, n_real))
         # (ngroups, B, GROUP_LANES) -> lane-major symbol order
         arr = np.stack(outs)  # (g, t, lane)
         return arr.transpose(0, 2, 1).reshape(-1)

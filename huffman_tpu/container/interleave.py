@@ -45,6 +45,34 @@ def effective_lengths(
     return out
 
 
+def build_streams(
+    slab: np.ndarray, eff_lens: np.ndarray, n_real_lanes: int
+) -> list[np.ndarray]:
+    """Dispatcher: native C++ simulation when available, NumPy otherwise."""
+    try:
+        from ..runtime import native
+
+        if native.available():
+            return native.interleave_build(slab, eff_lens, n_real_lanes)
+    except ImportError:
+        pass
+    return build_interleaved_streams(slab, eff_lens, n_real_lanes)
+
+
+def decode_interleaved(
+    stream: np.ndarray, cb: Codebook, n_steps: int, n_real_lanes: int
+) -> np.ndarray:
+    """Dispatcher for the CPU interleaved decode twin."""
+    try:
+        from ..runtime import native
+
+        if native.available():
+            return native.interleave_decode(stream, cb, n_steps, n_real_lanes)
+    except ImportError:
+        pass
+    return decode_interleaved_numpy(stream, cb, n_steps, n_real_lanes)
+
+
 def build_interleaved_streams(
     slab: np.ndarray,       # (n_lanes, W) uint32 per-lane packed words
     eff_lens: np.ndarray,   # (n_lanes, B) int32 per-step bit consumption
