@@ -1,0 +1,199 @@
+"""Command-line interface: the framework's equivalent of the reference's
+two binaries (``./archive <file>`` / ``./extract <file>.compressed``,
+reference Compressor.cu:315, Decompressor.cu:47, Makefile:5-9) plus the
+native TPU block container.
+
+Commands
+--------
+archive    — file -> <file>.compressed (reference-interop format)
+extract    — <file>.compressed -> DECOMPRESSED_FILE (reference semantics,
+             including rename-on-collision, Decompressor.cu
+             change_name_if_exists) or -o <path>
+compress   — file -> <file>.htpu (native block container; TPU-parallel
+             decode, CRC-checked)
+decompress — <file>.htpu -> original (default strips .htpu or -o <path>)
+
+``--time`` prints per-stage wall times and throughput, mirroring the
+reference's instrumentation ("Histograming took X ms", SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+
+def _unique_path(base: Path) -> Path:
+    """DECOMPRESSED_FILE, DECOMPRESSED_FILE(1), ... (reference collision
+    behavior, Decompressor.cu change_name_if_exists)."""
+    if not base.exists():
+        return base
+    i = 1
+    while True:
+        cand = base.with_name(f"{base.name}({i})")
+        if not cand.exists():
+            return cand
+        i += 1
+
+
+class _Timer:
+    def __init__(self, enabled: bool):
+        self.enabled = enabled
+        self._t0 = time.perf_counter()
+
+    def stage(self, name: str, nbytes: int | None = None) -> None:
+        if not self.enabled:
+            return
+        dt = time.perf_counter() - self._t0
+        rate = f", {nbytes / dt / 1e6:.1f} MB/s" if nbytes else ""
+        print(f"{name} took {dt * 1e3:.2f} ms{rate}", file=sys.stderr)
+        self._t0 = time.perf_counter()
+
+
+def _report(in_size: int, out_size: int) -> None:
+    """Size/ratio report (reference Compressor.cu:612-627, including the
+    inflation warning)."""
+    pct = 100.0 * out_size / in_size if in_size else 0.0
+    print(f"{in_size} bytes -> {out_size} bytes ({pct:.2f}%)")
+    if out_size > in_size:
+        print(
+            "WARNING: output is larger than input (incompressible data)",
+            file=sys.stderr,
+        )
+
+
+def cmd_archive(args) -> int:
+    from . import api
+
+    src = Path(args.file)
+    data = src.read_bytes()
+    t = _Timer(args.time)
+    blob = api.compress_reference(data, backend=args.backend)
+    t.stage("compress", len(data))
+    out = Path(args.output) if args.output else src.with_name(src.name + ".compressed")
+    out.write_bytes(blob)
+    _report(len(data), len(blob))
+    return 0
+
+
+def cmd_extract(args) -> int:
+    from . import api
+
+    blob = Path(args.file).read_bytes()
+    t = _Timer(args.time)
+    data = api.decompress_reference(blob, backend=args.backend)
+    t.stage("decompress", len(data))
+    out = Path(args.output) if args.output else _unique_path(Path("DECOMPRESSED_FILE"))
+    out.write_bytes(data)
+    print(f"wrote {out} ({len(data)} bytes)")
+    return 0
+
+
+def cmd_compress(args) -> int:
+    from . import api
+
+    src = Path(args.file)
+    data = src.read_bytes()
+    t = _Timer(args.time)
+    blob = api.compress(
+        data,
+        backend=args.backend,
+        block_symbols=args.block_symbols,
+        mode=args.mode,
+    )
+    t.stage("compress", len(data))
+    out = Path(args.output) if args.output else src.with_name(src.name + ".htpu")
+    out.write_bytes(blob)
+    _report(len(data), len(blob))
+    return 0
+
+
+def cmd_decompress(args) -> int:
+    from . import api
+
+    src = Path(args.file)
+    blob = src.read_bytes()
+    t = _Timer(args.time)
+    data = api.decompress(blob, backend=args.backend)
+    t.stage("decompress", len(data))
+    if args.output:
+        out = Path(args.output)
+    elif src.suffix == ".htpu":
+        out = _unique_path(src.with_suffix(""))
+    else:
+        out = _unique_path(Path("DECOMPRESSED_FILE"))
+    out.write_bytes(data)
+    print(f"wrote {out} ({len(data)} bytes)")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="huffman_tpu",
+        description="TPU-native Huffman codec (byte-pair alphabet)",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp):
+        sp.add_argument("file", help="input path")
+        sp.add_argument("-o", "--output", help="output path")
+        sp.add_argument(
+            "--backend",
+            choices=["native", "numpy", "jax"],
+            default=None,
+            help="force a backend (default: best available)",
+        )
+        sp.add_argument(
+            "--time", action="store_true", help="print per-stage timings"
+        )
+
+    sp = sub.add_parser("archive", help="compress to reference .compressed format")
+    common(sp)
+    sp.set_defaults(fn=cmd_archive)
+
+    sp = sub.add_parser("extract", help="decompress a reference .compressed file")
+    common(sp)
+    sp.set_defaults(fn=cmd_extract)
+
+    sp = sub.add_parser("compress", help="compress to the native block container")
+    common(sp)
+    sp.add_argument(
+        "--block-symbols",
+        type=int,
+        default=None,
+        help="symbols per independently decodable block",
+    )
+    sp.add_argument(
+        "--mode",
+        choices=["interleaved", "blocks"],
+        default="interleaved",
+        help="container profile (v2 interleaved / v1 block slabs)",
+    )
+    sp.set_defaults(fn=cmd_compress)
+
+    sp = sub.add_parser("decompress", help="decompress a native .htpu container")
+    common(sp)
+    sp.set_defaults(fn=cmd_decompress)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if getattr(args, "block_symbols", None) is None and hasattr(args, "block_symbols"):
+        from .constants import DEFAULT_BLOCK_SYMBOLS
+
+        args.block_symbols = DEFAULT_BLOCK_SYMBOLS
+    try:
+        return args.fn(args)
+    except FileNotFoundError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

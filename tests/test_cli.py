@@ -1,0 +1,65 @@
+"""CLI tests: the framework's archive/extract surface (reference parity,
+Compressor.cu:315 / Decompressor.cu:47) plus the native container commands."""
+
+import numpy as np
+import pytest
+
+from huffman_tpu import cli
+
+
+@pytest.fixture()
+def sample(tmp_path):
+    rng = np.random.default_rng(11)
+    p = tmp_path / "sample.bin"
+    # Compressible with an odd tail (exercises isOdd).
+    data = (rng.zipf(1.5, size=20001) % 200).astype(np.uint8).tobytes()
+    p.write_bytes(data)
+    return p, data
+
+
+def test_archive_extract_roundtrip(sample, tmp_path, monkeypatch):
+    src, data = sample
+    monkeypatch.chdir(tmp_path)
+    assert cli.main(["archive", str(src)]) == 0
+    comp = src.with_name(src.name + ".compressed")
+    assert comp.exists()
+    assert cli.main(["extract", str(comp)]) == 0
+    assert (tmp_path / "DECOMPRESSED_FILE").read_bytes() == data
+
+
+def test_extract_collision_rename(sample, tmp_path, monkeypatch):
+    """Reference behavior: DECOMPRESSED_FILE, then DECOMPRESSED_FILE(1)."""
+    src, data = sample
+    monkeypatch.chdir(tmp_path)
+    cli.main(["archive", str(src)])
+    comp = str(src.with_name(src.name + ".compressed"))
+    cli.main(["extract", comp])
+    cli.main(["extract", comp])
+    assert (tmp_path / "DECOMPRESSED_FILE(1)").read_bytes() == data
+
+
+def test_compress_decompress_native_container(sample, tmp_path):
+    src, data = sample
+    out = tmp_path / "x.htpu"
+    assert cli.main(["compress", str(src), "-o", str(out), "--backend", "numpy"]) == 0
+    dec = tmp_path / "x.out"
+    assert cli.main(["decompress", str(out), "-o", str(dec), "--backend", "numpy"]) == 0
+    assert dec.read_bytes() == data
+
+
+def test_decompress_strips_htpu_suffix(sample, tmp_path):
+    src, data = sample
+    out = tmp_path / "y.htpu"
+    cli.main(["compress", str(src), "-o", str(out), "--backend", "numpy"])
+    assert cli.main(["decompress", str(out), "--backend", "numpy"]) == 0
+    assert (tmp_path / "y").read_bytes() == data
+
+
+def test_missing_file_error_code(tmp_path):
+    assert cli.main(["archive", str(tmp_path / "nope")]) == 1
+
+
+def test_corrupt_container_error_code(tmp_path):
+    bad = tmp_path / "bad.htpu"
+    bad.write_bytes(b"not a container")
+    assert cli.main(["decompress", str(bad)]) == 2
