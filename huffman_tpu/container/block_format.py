@@ -382,10 +382,8 @@ def _decode_v2(c: ParsedContainer, backend) -> np.ndarray:
     if translate:
         symtab[: cb.n_unique] = cb.sym_order
     meta = np.zeros((c.ngroups, 4), dtype=np.int32)
-    meta[:, 0] = max(cb.max_len, 1)
     for g in range(c.ngroups):
-        meta[g, 1] = max(0, min(GROUP_LANES, c.num_blocks - g * GROUP_LANES))
-    meta[:, 2] = translate
+        meta[g, 0] = max(0, min(GROUP_LANES, c.num_blocks - g * GROUP_LANES))
 
     out = pd.decode_groups(
         jnp.asarray(stacked),
@@ -396,6 +394,8 @@ def _decode_v2(c: ParsedContainer, backend) -> np.ndarray:
         B,
         rows_per,
         sym_rows,
+        max_len=max(cb.max_len, 1),
+        translate=bool(translate),
         # Mosaic only runs on TPU; an explicit jax backend on CPU (tests)
         # exercises the kernel through the interpreter.
         interpret=not _use_device(),

@@ -94,7 +94,7 @@ def _prefix_rank(mask: jax.Array, tril128: jax.Array):
 
 
 def _decode_kernel(
-    meta_ref,      # scalar-prefetch (ngroups, 4) i32: [max_len, n_real, translate, 0]
+    meta_ref,      # scalar-prefetch (ngroups, 4) i32: [n_real, 0, 0, 0]
     lj_ref,        # scalar-prefetch (MAX_CODE_LEN,) i32 (u32 boundary bits)
     stream_ref,    # VMEM (stream_rows, 128) u32 — group's interleaved words
     base_ref,      # VMEM (1, 128) u32 (base table padded into one row)
@@ -102,11 +102,14 @@ def _decode_kernel(
     out_ref,       # VMEM (n_steps, 8, 128) i32 decoded symbols (or ranks)
     *,
     n_steps: int,
+    max_len: int,
+    translate: bool,
 ):
+    # max_len and translate are compile-time codebook properties: the length
+    # loop unrolls to exactly max_len-1 compares (not MAX_CODE_LEN-1) and
+    # the rank->symbol gather is traced in or out entirely.
     g = pl.program_id(0)
-    max_len = meta_ref[g, 0]
-    n_real = meta_ref[g, 1]
-    translate = meta_ref[g, 2]
+    n_real = meta_ref[g, 0]
 
     shape = (SUBLANES, LANES)
     lane_id = (
@@ -132,23 +135,21 @@ def _decode_kernel(
         peek = bufA
 
         length = jnp.ones(shape, jnp.int32)
-        for i in range(MAX_CODE_LEN - 1):
+        for i in range(max_len - 1):
             # lj bits stored as i32; value-wrap to u32 restores the boundary
             length = length + (peek >= lj_ref[i].astype(jnp.uint32)).astype(jnp.int32)
-        length = jnp.minimum(length, max_len)
 
         base_v = jnp.take_along_axis(base_row, length, axis=1)
         rank = base_v + pltpu.bitcast(
             peek >> ((32 - length).astype(jnp.uint32)), jnp.int32
         )
-        sym = jax.lax.cond(
-            translate > 0,
-            lambda: _lane_gather_i32(
+        if translate:
+            sym = _lane_gather_i32(
                 symtab_ref[:],
                 jnp.clip(rank, 0, symtab_ref.shape[0] * LANES - 1),
-            ),
-            lambda: rank,
-        )
+            )
+        else:
+            sym = rank
         out_ref[t] = sym
 
         # consume
@@ -186,17 +187,22 @@ def _decode_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_steps", "stream_rows", "sym_rows", "interpret")
+    jax.jit,
+    static_argnames=(
+        "n_steps", "stream_rows", "sym_rows", "max_len", "translate", "interpret",
+    ),
 )
 def decode_groups(
     streams: jax.Array,   # (ngroups * stream_rows, 128) uint32
     lj_limit: jax.Array,  # (MAX_CODE_LEN,) uint32
     base: jax.Array,      # (MAX_CODE_LEN + 1,) uint32
     symtab: jax.Array,    # (sym_rows * 128,) int32
-    meta: jax.Array,      # (ngroups, 4) int32: [max_len, n_real, translate, 0]
+    meta: jax.Array,      # (ngroups, 4) int32: [n_real, 0, 0, 0]
     n_steps: int,
     stream_rows: int,
     sym_rows: int,
+    max_len: int = MAX_CODE_LEN,
+    translate: bool = True,
     interpret: bool = False,
 ) -> jax.Array:
     """Decode all groups; returns (ngroups * n_steps, 8, 128) int32 where
@@ -207,7 +213,9 @@ def decode_groups(
     base_pad = jnp.zeros((1, LANES), jnp.uint32).at[0, : MAX_CODE_LEN + 1].set(base)
     symtab2 = symtab.reshape(sym_rows, LANES)
 
-    kernel = functools.partial(_decode_kernel, n_steps=n_steps)
+    kernel = functools.partial(
+        _decode_kernel, n_steps=n_steps, max_len=max_len, translate=translate
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # meta, lj
         grid=(ngroups,),

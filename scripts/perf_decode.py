@@ -1,0 +1,117 @@
+"""Decode-kernel perf iteration harness (not part of the library).
+
+Builds an encoded stream set once (native interleave build), then times
+kernel variants with the amortized in-jit repeat method from bench.py.
+
+Usage: python scripts/perf_decode.py [size_mb] [alphabet]
+"""
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from huffman_tpu.codebook import Codebook
+    from huffman_tpu.constants import MAX_SYMBOLS
+    from huffman_tpu.container import block_format as bf
+    from huffman_tpu.container import interleave as il
+    from huffman_tpu.ops import pallas_decode as pd
+
+    size_mb = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    alphabet_size = int(sys.argv[2]) if len(sys.argv) > 2 else 3000
+    B = 512
+
+    rng = np.random.default_rng(7)
+    alphabet = rng.choice(MAX_SYMBOLS, size=alphabet_size, replace=False)
+    p = 1.0 / np.arange(1, alphabet_size + 1) ** 1.1
+    p /= p.sum()
+    n_pairs = (size_mb << 20) // 2
+    symbols = rng.choice(alphabet, size=n_pairs, p=p).astype(np.int32)
+
+    n_real = (n_pairs + B - 1) // B
+    n_lanes = (n_real + pd.GROUP_LANES - 1) // pd.GROUP_LANES * pd.GROUP_LANES
+    ngroups = n_lanes // pd.GROUP_LANES
+
+    t0 = time.perf_counter()
+    cb = Codebook.from_frequencies(np.bincount(symbols, minlength=MAX_SYMBOLS))
+    slab, _, lens = bf._encode_slab_numpy(symbols.astype(np.uint16), cb, n_lanes, B)
+    min_len = int(cb.lengths[cb.lengths > 0].min())
+    eff = il.effective_lengths(lens, n_pairs, min_len, n_lanes, B)
+    streams = il.build_streams(slab, eff, n_real)
+    stacked, _ = il.pad_streams(streams)
+    rows_per = stacked.shape[0] // ngroups
+    print(
+        f"prep {time.perf_counter()-t0:.1f}s  ngroups={ngroups} rows/group={rows_per} "
+        f"max_len={cb.max_len} n_unique={cb.n_unique} min_len={min_len}"
+    )
+
+    translate = cb.n_unique <= pd.GATHER_MAX_ALPHABET
+    sym_rows = 1
+    while sym_rows * 128 < max(cb.n_unique, 1):
+        sym_rows <<= 1
+    if not translate:
+        sym_rows = 1
+    symtab = np.zeros(sym_rows * 128, dtype=np.int32)
+    if translate:
+        symtab[: cb.n_unique] = cb.sym_order
+    meta = np.zeros((ngroups, 4), dtype=np.int32)
+    for g in range(ngroups):
+        meta[g, 0] = max(0, min(pd.GROUP_LANES, n_real - g * pd.GROUP_LANES))
+
+    s_dev = jnp.asarray(stacked)
+    args = (
+        jnp.asarray(cb.lj_limit),
+        jnp.asarray((cb.base & 0xFFFFFFFF).astype(np.uint32)),
+        jnp.asarray(symtab),
+        jnp.asarray(meta),
+    )
+
+    def decode_fn(s):
+        return pd.decode_groups(
+            s, *args, B, rows_per, sym_rows,
+            max_len=max(cb.max_len, 1), translate=translate,
+        )
+
+    # correctness
+    out = np.asarray(decode_fn(s_dev))
+    dec = out.reshape(ngroups, B, 8, 128).transpose(0, 2, 3, 1).reshape(-1)[:n_pairs]
+    if not translate:
+        dec = cb.sym_order.astype(np.int64)[np.clip(dec, 0, cb.n_unique - 1)]
+    assert np.array_equal(dec, symbols), "decode mismatch"
+
+    ITERS = 20
+
+    @jax.jit
+    def many(s):
+        def body(i, carry):
+            s, chk = carry
+            s = s.at[-1, -1].set(chk)
+            out = decode_fn(s)
+            chk = jnp.bitwise_xor(chk, out[0, 0, 0].astype(jnp.uint32) & jnp.uint32(1))
+            return s, chk
+
+        _, chk = jax.lax.fori_loop(0, ITERS, body, (s, jnp.uint32(0)))
+        return chk
+
+    many(s_dev).block_until_ready()  # compile+warm
+    reps = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        many(s_dev).block_until_ready()
+        reps.append((time.perf_counter() - t0) / ITERS)
+    sec = sorted(reps)[1]
+    print(
+        f"decode: {sec*1e3:.3f} ms/iter  {n_pairs*2/sec/1e9:.2f} GB/s  "
+        f"({sec/ (ngroups*B) *1e9:.0f} ns/step, translate={translate})"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -60,10 +60,8 @@ def _run_kernel(cb, streams, n_real, B, translate=True):
     symtab = np.zeros(sym_rows * 128, dtype=np.int32)
     symtab[: cb.n_unique] = cb.sym_order
     meta = np.zeros((ngroups, 4), dtype=np.int32)
-    meta[:, 0] = max(cb.max_len, 1)
     for g in range(ngroups):
-        meta[g, 1] = max(0, min(pd.GROUP_LANES, n_real - g * pd.GROUP_LANES))
-    meta[:, 2] = 1 if translate else 0
+        meta[g, 0] = max(0, min(pd.GROUP_LANES, n_real - g * pd.GROUP_LANES))
     out = pd.decode_groups(
         jnp.asarray(stacked),
         jnp.asarray(cb.lj_limit),
@@ -73,6 +71,8 @@ def _run_kernel(cb, streams, n_real, B, translate=True):
         B,
         rows_per,
         sym_rows,
+        max_len=max(cb.max_len, 1),
+        translate=translate,
         interpret=jax.devices()[0].platform == "cpu",
     )
     return np.asarray(out), ngroups
