@@ -84,15 +84,10 @@ def main() -> None:
     stacked, _ = il.pad_streams(streams)
     rows_per = stacked.shape[0] // ngroups
 
-    sym_rows = 1
-    while sym_rows * 128 < max(cb.n_unique, 1):
-        sym_rows <<= 1
-    symtab = np.zeros(sym_rows * 128, dtype=np.int32)
-    symtab[: cb.n_unique] = cb.sym_order
+    symtab, sym_rows, translate = pd.build_symtab(cb.sym_order)
     meta = np.zeros((ngroups, 4), dtype=np.int32)
     for g in range(ngroups):
         meta[g, 0] = max(0, min(pd.GROUP_LANES, n_real - g * pd.GROUP_LANES))
-    translate = cb.n_unique <= pd.GATHER_MAX_ALPHABET
 
     args = (
         jnp.asarray(stacked),

@@ -353,7 +353,7 @@ def _decode_v1(c: ParsedContainer, backend) -> np.ndarray:
 
 def _decode_v2(c: ParsedContainer, backend) -> np.ndarray:
     from . import interleave as il
-    from ..ops.pallas_decode import GATHER_MAX_ALPHABET, GROUP_LANES
+    from ..ops.pallas_decode import GROUP_LANES, build_symtab
 
     B = c.block_symbols
     if backend == "numpy" or (backend is None and not _use_device()):
@@ -372,15 +372,7 @@ def _decode_v2(c: ParsedContainer, backend) -> np.ndarray:
     cb = c.codebook
     stacked, _ = il.pad_streams(list(c.streams))
     rows_per = stacked.shape[0] // c.ngroups
-    translate = 1 if 0 < cb.n_unique <= GATHER_MAX_ALPHABET else 0
-    sym_rows = 1
-    while sym_rows * 128 < max(cb.n_unique, 1):
-        sym_rows <<= 1
-    if not translate:
-        sym_rows = 1
-    symtab = np.zeros(sym_rows * 128, dtype=np.int32)
-    if translate:
-        symtab[: cb.n_unique] = cb.sym_order
+    symtab, sym_rows, translate = build_symtab(cb.sym_order)
     meta = np.zeros((c.ngroups, 4), dtype=np.int32)
     for g in range(c.ngroups):
         meta[g, 0] = max(0, min(GROUP_LANES, c.num_blocks - g * GROUP_LANES))

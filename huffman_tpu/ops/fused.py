@@ -1,0 +1,125 @@
+"""Whole-pipeline fused device programs.
+
+``encode_device`` runs histogram -> codebook construction -> canonical
+tables -> per-block bit-pack -> interleaved stream assembly as ONE XLA
+program. The reference's encoder crosses the host/device boundary 10+
+times and builds its codebook into host std::strings (SURVEY.md §3.1);
+here the only D2H copy is the finished payload.
+
+``roundtrip_device`` chains the fused encoder with the Pallas lane decoder
+for an on-device self-check (the make-test roundtrip, without the host).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import MAX_CODE_LEN, MAX_SYMBOLS
+from . import encode as enc
+from .device_codebook import device_canonical_tables, device_code_lengths
+from .device_interleave import build_streams_device
+from .histogram import histogram_scatter
+from .pallas_decode import GROUP_LANES, PRELOAD_WORDS, WINDOW_ROWS
+
+
+@functools.partial(
+    jax.jit, static_argnames=("B", "words_per_block", "words_cap", "max_len")
+)
+def encode_device(
+    symbols: jax.Array,   # (n_lanes * B,) int32, zero-padded past n_pairs
+    n_pairs: jax.Array,   # scalar int32 count of real symbols
+    B: int,
+    words_per_block: int | None = None,
+    words_cap: int | None = None,
+    max_len: int = MAX_CODE_LEN,
+):
+    """Fused encode. Returns a dict with the interleaved payload
+    (``streams`` (ngroups, 2*1024+cap) u32 + ``counts``), the dense code
+    ``lengths`` (for the container codebook header), per-block ``bits``,
+    and the decode tables (``lj_limit``, ``base``, ``sym_rank``).
+
+    words_per_block defaults to B (the 32-bit/symbol worst case) so the
+    program is shape-static with no host-visible scan result; callers that
+    know their data may pass a tighter bucket.
+    """
+    n_total = symbols.shape[0]
+    n_lanes = n_total // B
+    W = words_per_block or B
+    cap = words_cap or B * GROUP_LANES
+    symbols = symbols.astype(jnp.int32)
+    idx = jnp.arange(n_total, dtype=jnp.int32)
+    valid = idx < n_pairs
+
+    hist = histogram_scatter(jnp.where(valid, symbols, MAX_SYMBOLS))
+    lengths = device_code_lengths(hist, max_len=max_len)
+    enc_codes, enc_lens, lj_limit, base, sym_rank = device_canonical_tables(lengths)
+
+    sym2 = symbols.reshape(n_lanes, B)
+    val2 = valid.reshape(n_lanes, B)
+    codes, lens = enc.gather_codes(sym2, enc_codes, enc_lens, val2)
+    offsets, bits = enc.block_offsets(lens)
+    slab = enc.pack_blocks(codes, lens, offsets, W)
+
+    min_len = jnp.min(jnp.where(lengths > 0, lengths, MAX_CODE_LEN + 1))
+    min_len = jnp.minimum(min_len, MAX_CODE_LEN)  # empty alphabet guard
+    eff = jnp.where(val2, lens, min_len).astype(jnp.int32)
+    n_real = (n_pairs + B - 1) // B
+    streams, counts = build_streams_device(slab, eff, n_real, words_cap=cap)
+    return {
+        "streams": streams,
+        "counts": counts,
+        "lengths": lengths,
+        "bits": bits,
+        "hist": hist,
+        "lj_limit": lj_limit,
+        "base": base,
+        "sym_rank": sym_rank,
+    }
+
+
+def streams_to_kernel_layout(streams: jax.Array, rows_bucket: int = 64):
+    """(ngroups, width) device streams -> the (ngroups*rows, 128) layout
+    the Pallas decoder consumes (device twin of interleave.pad_streams;
+    padding is already zeros by construction)."""
+    ngroups, width = streams.shape
+    rows = (width + 127) // 128 + WINDOW_ROWS
+    rows = (rows + rows_bucket - 1) // rows_bucket * rows_bucket
+    pad = rows * 128 - width
+    padded = jnp.pad(streams, ((0, 0), (0, pad)))
+    return padded.reshape(ngroups * rows, 128), rows
+
+
+@functools.partial(jax.jit, static_argnames=("B", "max_len"))
+def roundtrip_device(symbols: jax.Array, n_pairs: jax.Array, B: int,
+                     max_len: int = MAX_CODE_LEN):
+    """Encode on device, decode on device (XLA lane decoder — works on any
+    backend, unlike Mosaic), compare. Returns (ok, payload_words)."""
+    from . import decode as dec
+
+    r = encode_device(symbols, n_pairs, B, max_len=max_len)
+    n_total = symbols.shape[0]
+    n_lanes = n_total // B
+
+    # Decode straight from the per-lane slab layout rebuilt from tables
+    # (the XLA decoder reads per-block slabs, not interleaved streams — the
+    # interleaved payload is checked bit-exactly by the Pallas kernel tests).
+    enc_codes, enc_lens, *_ = device_canonical_tables(r["lengths"])
+    sym2 = symbols.reshape(n_lanes, B).astype(jnp.int32)
+    valid = (jnp.arange(n_total, dtype=jnp.int32) < n_pairs).reshape(n_lanes, B)
+    codes, lens = enc.gather_codes(sym2, enc_codes, enc_lens, valid)
+    offsets, _ = enc.block_offsets(lens)
+    slab = enc.pack_blocks(codes, lens, offsets, B)
+
+    # sym_order from sym_rank by scatter.
+    sym_order = jnp.zeros((MAX_SYMBOLS,), jnp.int32).at[
+        jnp.where(r["lengths"] > 0, r["sym_rank"], MAX_SYMBOLS - 1)
+    ].max(jnp.arange(MAX_SYMBOLS, dtype=jnp.int32) * (r["lengths"] > 0))
+    dec_max_len = jnp.maximum(jnp.max(r["lengths"]), 1)
+    out = dec.decode_blocks(
+        slab, r["lj_limit"], r["base"], sym_order, B, dec_max_len
+    )
+    ok = jnp.all(jnp.where(valid, out == sym2, True))
+    return ok, jnp.sum(r["counts"])

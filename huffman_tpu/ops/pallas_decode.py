@@ -40,6 +40,7 @@ bit counter so they never take stream words — padding costs nothing.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -51,11 +52,47 @@ from ..constants import MAX_CODE_LEN
 
 LANES = 128
 SUBLANES = 8
-GROUP_LANES = SUBLANES * LANES  # 1024 streams per kernel instance
+GROUP_LANES = SUBLANES * LANES  # 1024 streams per decode chain
 PRELOAD_WORDS = 2               # words 0,1 of every lane head the stream
-WINDOW_ROWS = 16                # refill window: 16 rows x 128 = 2048 words
+WINDOW_ROWS = 9                 # refill window: max slot is 127+1024 < 9*128
 GATHER_MAX_ALPHABET = 4096      # in-kernel rank->symbol translation limit
 REFILL_THRESHOLD = 33           # refill when valid bits drop below this
+DEFAULT_MULTI = 2               # independent groups interleaved per kernel
+                                # instance: the per-chain step is a serial
+                                # dependency chain, so a second chain fills
+                                # the VPU's latency bubbles
+
+# Perf-ablation knobs (scripts/perf_decode.py): comma-separated names in
+# HTPU_ABLATE disable kernel pieces AT TRACE TIME to attribute step cost.
+# Output is wrong under ablation — never set outside perf experiments.
+_ABLATE = frozenset(
+    x for x in os.environ.get("HTPU_ABLATE", "").split(",") if x
+)
+
+
+def build_symtab(sym_order: np.ndarray):
+    """Pack the canonical symbol permutation for the in-kernel gather.
+
+    Symbols are 16-bit, so two pack into each i32 table word — halving the
+    unrolled gather depth. Returns (symtab (rows*128,) int32, rows,
+    translate); translate is False for alphabets past GATHER_MAX_ALPHABET,
+    where the kernel emits ranks for the caller to translate.
+    """
+    n = int(sym_order.size)
+    if not (0 < n <= GATHER_MAX_ALPHABET):
+        return np.zeros(LANES, np.int32), 1, False
+    n_pack = (n + 1) // 2
+    rows = 1
+    while rows * LANES < n_pack:
+        rows <<= 1
+    even = np.zeros(n_pack, np.uint32)
+    odd = np.zeros(n_pack, np.uint32)
+    so = sym_order.astype(np.uint32)
+    even[: (n + 1) // 2] = so[0::2]
+    odd[: n // 2] = so[1::2]
+    packed = np.zeros(rows * LANES, np.uint32)
+    packed[:n_pack] = even | (odd << 16)
+    return packed.view(np.int32), rows, True
 
 
 def _lane_gather_i32(rows: jax.Array, idx: jax.Array) -> jax.Array:
@@ -96,27 +133,30 @@ def _prefix_rank(mask: jax.Array, tril128: jax.Array):
 def _decode_kernel(
     meta_ref,      # scalar-prefetch (ngroups, 4) i32: [n_real, 0, 0, 0]
     lj_ref,        # scalar-prefetch (MAX_CODE_LEN,) i32 (u32 boundary bits)
-    stream_ref,    # VMEM (stream_rows, 128) u32 — group's interleaved words
+    stream_ref,    # VMEM (multi*stream_rows, 128) u32 — interleaved words
     base_ref,      # VMEM (1, 128) u32 (base table padded into one row)
     symtab_ref,    # VMEM (sym_rows, 128) i32 canonical symbol permutation
-    out_ref,       # VMEM (n_steps, 8, 128) i32 decoded symbols (or ranks)
+    out_ref,       # VMEM (multi*n_steps, 8, 128) i32 symbols (or ranks)
     *,
     n_steps: int,
     max_len: int,
     translate: bool,
+    multi: int,
+    stream_rows: int,
 ):
     # max_len and translate are compile-time codebook properties: the length
     # loop unrolls to exactly max_len-1 compares (not MAX_CODE_LEN-1) and
-    # the rank->symbol gather is traced in or out entirely.
+    # the rank->symbol gather is traced in or out entirely. `multi`
+    # independent groups are decoded in one interleaved loop — each chain's
+    # step is a long serial dependency chain, so the extra chains fill the
+    # VPU's latency bubbles at no extra VMEM-bandwidth cost.
     g = pl.program_id(0)
-    n_real = meta_ref[g, 0]
 
     shape = (SUBLANES, LANES)
     lane_id = (
         jax.lax.broadcasted_iota(jnp.int32, shape, 0) * LANES
         + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     )
-    is_pad = lane_id >= n_real
 
     li = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
     lj = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
@@ -126,16 +166,21 @@ def _decode_kernel(
         pltpu.bitcast(base_ref[0:1, :], jnp.int32), shape
     )
 
-    bufA0 = stream_ref[0:SUBLANES, :]
-    bufB0 = stream_ref[SUBLANES : 2 * SUBLANES, :]
-    bits0 = jnp.where(is_pad, jnp.int32(1 << 30), jnp.int32(64))
+    def init(j):
+        r0 = j * stream_rows
+        n_real = meta_ref[g * multi + j, 0]
+        is_pad = lane_id >= n_real
+        bufA0 = stream_ref[r0 : r0 + SUBLANES, :]
+        bufB0 = stream_ref[r0 + SUBLANES : r0 + 2 * SUBLANES, :]
+        bits0 = jnp.where(is_pad, jnp.int32(1 << 30), jnp.int32(64))
+        return bufA0, bufB0, bits0, jnp.int32(PRELOAD_WORDS * GROUP_LANES)
 
-    def body(t, carry):
+    def chain_step(j, t, carry):
         bufA, bufB, bits, head = carry
         peek = bufA
 
         length = jnp.ones(shape, jnp.int32)
-        for i in range(max_len - 1):
+        for i in range(max_len - 1 if "len1" not in _ABLATE else 1):
             # lj bits stored as i32; value-wrap to u32 restores the boundary
             length = length + (peek >= lj_ref[i].astype(jnp.uint32)).astype(jnp.int32)
 
@@ -143,33 +188,53 @@ def _decode_kernel(
         rank = base_v + pltpu.bitcast(
             peek >> ((32 - length).astype(jnp.uint32)), jnp.int32
         )
-        if translate:
-            sym = _lane_gather_i32(
+        if translate and "sym" in _ABLATE:
+            sym = rank
+        elif translate:
+            # Table words hold two 16-bit symbols (build_symtab): gather
+            # the pair word, select the half by rank parity.
+            pair = _lane_gather_i32(
                 symtab_ref[:],
-                jnp.clip(rank, 0, symtab_ref.shape[0] * LANES - 1),
+                jnp.clip(rank >> 1, 0, symtab_ref.shape[0] * LANES - 1),
             )
+            half = pltpu.bitcast(pair, jnp.uint32) >> (
+                ((rank & 1) << 4).astype(jnp.uint32)
+            )
+            sym = pltpu.bitcast(half & jnp.uint32(0xFFFF), jnp.int32)
         else:
             sym = rank
-        out_ref[t] = sym
+        out_ref[j * n_steps + t] = sym
 
         # consume
         sh = length.astype(jnp.uint32)
         inv = (jnp.uint32(32) - sh) & jnp.uint32(31)
         full = length == 32
-        bufA2 = jnp.where(full, bufB, (bufA << sh) | (bufB >> inv))
+        bufA = jnp.where(full, bufB, (bufA << sh) | (bufB >> inv))
         # sh == 0 impossible (length >= 1); inv == 0 only when full.
-        bufA = jnp.where(length == 0, bufA, bufA2)
         bufB = jnp.where(full, jnp.uint32(0), bufB << sh)
         bits = bits - length
 
         # refill
         mask = bits < REFILL_THRESHOLD
-        k, total = _prefix_rank(mask, tril128)
-        window = pltpu.bitcast(
-            stream_ref[pl.ds(head >> 7, WINDOW_ROWS), :], jnp.int32
-        )
+        if "rank" in _ABLATE:
+            k, total = jnp.zeros(shape, jnp.int32), jnp.int32(1)
+        else:
+            k, total = _prefix_rank(mask, tril128)
+        if "window" in _ABLATE:
+            window = pltpu.bitcast(
+                stream_ref[j * stream_rows : j * stream_rows + WINDOW_ROWS, :],
+                jnp.int32,
+            ) + head
+        else:
+            window = pltpu.bitcast(
+                stream_ref[pl.ds(j * stream_rows + (head >> 7), WINDOW_ROWS), :],
+                jnp.int32,
+            )
         slot = (head & 127) + k
-        word = pltpu.bitcast(_lane_gather_i32(window, slot), jnp.uint32)
+        if "gather" in _ABLATE:
+            word = pltpu.bitcast(window[0:SUBLANES, :] + slot, jnp.uint32)
+        else:
+            word = pltpu.bitcast(_lane_gather_i32(window, slot), jnp.uint32)
         word = jnp.where(mask, word, jnp.uint32(0))
         bpos = bits.astype(jnp.uint32)  # in [1, 32] for refilling lanes
         addA = jnp.where(bpos < 32, word >> (bpos & jnp.uint32(31)), jnp.uint32(0))
@@ -182,14 +247,17 @@ def _decode_kernel(
         head = head + total
         return bufA, bufB, bits, head
 
-    head0 = jnp.int32(PRELOAD_WORDS * GROUP_LANES)
-    jax.lax.fori_loop(0, n_steps, body, (bufA0, bufB0, bits0, head0))
+    def body(t, carries):
+        return tuple(chain_step(j, t, carries[j]) for j in range(multi))
+
+    jax.lax.fori_loop(0, n_steps, body, tuple(init(j) for j in range(multi)))
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_steps", "stream_rows", "sym_rows", "max_len", "translate", "interpret",
+        "n_steps", "stream_rows", "sym_rows", "max_len", "translate",
+        "multi", "interpret",
     ),
 )
 def decode_groups(
@@ -203,6 +271,7 @@ def decode_groups(
     sym_rows: int,
     max_len: int = MAX_CODE_LEN,
     translate: bool = True,
+    multi: int = DEFAULT_MULTI,
     interpret: bool = False,
 ) -> jax.Array:
     """Decode all groups; returns (ngroups * n_steps, 8, 128) int32 where
@@ -213,26 +282,45 @@ def decode_groups(
     base_pad = jnp.zeros((1, LANES), jnp.uint32).at[0, : MAX_CODE_LEN + 1].set(base)
     symtab2 = symtab.reshape(sym_rows, LANES)
 
+    # Pad the group count to a multiple of `multi` with empty groups
+    # (n_real = 0 lanes never consume stream words).
+    multi = max(1, min(multi, max(ngroups, 1)))
+    pad_g = (-ngroups) % multi
+    if pad_g:
+        streams = jnp.concatenate(
+            [streams, jnp.zeros((pad_g * stream_rows, LANES), streams.dtype)]
+        )
+        meta = jnp.concatenate(
+            [meta, jnp.zeros((pad_g, meta.shape[1]), meta.dtype)]
+        )
+    ngroups_p = ngroups + pad_g
+
     kernel = functools.partial(
-        _decode_kernel, n_steps=n_steps, max_len=max_len, translate=translate
+        _decode_kernel, n_steps=n_steps, max_len=max_len, translate=translate,
+        multi=multi, stream_rows=stream_rows,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # meta, lj
-        grid=(ngroups,),
+        grid=(ngroups_p // multi,),
         in_specs=[
-            pl.BlockSpec((stream_rows, 128), lambda g, *_: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (multi * stream_rows, 128), lambda g, *_: (g, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec((1, LANES), lambda g, *_: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((sym_rows, 128), lambda g, *_: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (n_steps, SUBLANES, LANES), lambda g, *_: (g, 0, 0), memory_space=pltpu.VMEM
+            (multi * n_steps, SUBLANES, LANES), lambda g, *_: (g, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (ngroups * n_steps, SUBLANES, LANES), jnp.int32
+            (ngroups_p * n_steps, SUBLANES, LANES), jnp.int32
         ),
         interpret=interpret,
     )(meta, lj_i32, streams, base_pad, symtab2)
+    return out[: ngroups * n_steps] if pad_g else out

@@ -26,6 +26,7 @@ def main():
 
     size_mb = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     alphabet_size = int(sys.argv[2]) if len(sys.argv) > 2 else 3000
+    multi = int(sys.argv[3]) if len(sys.argv) > 3 else pd.DEFAULT_MULTI
     B = 512
 
     rng = np.random.default_rng(7)
@@ -40,27 +41,26 @@ def main():
     ngroups = n_lanes // pd.GROUP_LANES
 
     t0 = time.perf_counter()
+    import pathlib
+
+    cache = pathlib.Path(f"/tmp/perf_decode_{size_mb}_{alphabet_size}.npz")
     cb = Codebook.from_frequencies(np.bincount(symbols, minlength=MAX_SYMBOLS))
-    slab, _, lens = bf._encode_slab_numpy(symbols.astype(np.uint16), cb, n_lanes, B)
     min_len = int(cb.lengths[cb.lengths > 0].min())
-    eff = il.effective_lengths(lens, n_pairs, min_len, n_lanes, B)
-    streams = il.build_streams(slab, eff, n_real)
-    stacked, _ = il.pad_streams(streams)
+    if cache.exists():
+        stacked = np.load(cache)["stacked"]
+    else:
+        slab, _, lens = bf._encode_slab_numpy(symbols.astype(np.uint16), cb, n_lanes, B)
+        eff = il.effective_lengths(lens, n_pairs, min_len, n_lanes, B)
+        streams = il.build_streams(slab, eff, n_real)
+        stacked, _ = il.pad_streams(streams)
+        np.savez(cache, stacked=stacked)
     rows_per = stacked.shape[0] // ngroups
     print(
         f"prep {time.perf_counter()-t0:.1f}s  ngroups={ngroups} rows/group={rows_per} "
         f"max_len={cb.max_len} n_unique={cb.n_unique} min_len={min_len}"
     )
 
-    translate = cb.n_unique <= pd.GATHER_MAX_ALPHABET
-    sym_rows = 1
-    while sym_rows * 128 < max(cb.n_unique, 1):
-        sym_rows <<= 1
-    if not translate:
-        sym_rows = 1
-    symtab = np.zeros(sym_rows * 128, dtype=np.int32)
-    if translate:
-        symtab[: cb.n_unique] = cb.sym_order
+    symtab, sym_rows, translate = pd.build_symtab(cb.sym_order)
     meta = np.zeros((ngroups, 4), dtype=np.int32)
     for g in range(ngroups):
         meta[g, 0] = max(0, min(pd.GROUP_LANES, n_real - g * pd.GROUP_LANES))
@@ -76,15 +76,18 @@ def main():
     def decode_fn(s):
         return pd.decode_groups(
             s, *args, B, rows_per, sym_rows,
-            max_len=max(cb.max_len, 1), translate=translate,
+            max_len=max(cb.max_len, 1), translate=translate, multi=multi,
         )
 
-    # correctness
-    out = np.asarray(decode_fn(s_dev))
-    dec = out.reshape(ngroups, B, 8, 128).transpose(0, 2, 3, 1).reshape(-1)[:n_pairs]
-    if not translate:
-        dec = cb.sym_order.astype(np.int64)[np.clip(dec, 0, cb.n_unique - 1)]
-    assert np.array_equal(dec, symbols), "decode mismatch"
+    # correctness (skipped under ablation — output is wrong by design)
+    import os as _os
+
+    if not _os.environ.get("HTPU_ABLATE"):
+        out = np.asarray(decode_fn(s_dev))
+        dec = out.reshape(ngroups, B, 8, 128).transpose(0, 2, 3, 1).reshape(-1)[:n_pairs]
+        if not translate:
+            dec = cb.sym_order.astype(np.int64)[np.clip(dec, 0, cb.n_unique - 1)]
+        assert np.array_equal(dec, symbols), "decode mismatch"
 
     ITERS = 20
 
@@ -109,7 +112,8 @@ def main():
     sec = sorted(reps)[1]
     print(
         f"decode: {sec*1e3:.3f} ms/iter  {n_pairs*2/sec/1e9:.2f} GB/s  "
-        f"({sec/ (ngroups*B) *1e9:.0f} ns/step, translate={translate})"
+        f"({sec/ (ngroups*B) *1e9*multi:.0f} ns/step, translate={translate}, "
+        f"multi={multi})"
     )
 
 

@@ -1,0 +1,93 @@
+"""Fused device pipeline tests: encode_device (histogram -> package-merge
+codebook -> pack -> interleave in one jit) against the host pipeline, and
+the on-device roundtrip."""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+from huffman_tpu.codebook import Codebook
+from huffman_tpu.constants import MAX_SYMBOLS
+from huffman_tpu.container import block_format as bf
+from huffman_tpu.container import interleave as il
+from huffman_tpu.ops.device_interleave import build_streams_device
+from huffman_tpu.ops.fused import encode_device, roundtrip_device
+from huffman_tpu.ops.pallas_decode import GROUP_LANES
+
+
+def _case(seed, npairs, nalpha, zipf=True):
+    rng = np.random.default_rng(seed)
+    alpha = rng.choice(MAX_SYMBOLS, max(nalpha, 1), replace=False)
+    if zipf and nalpha > 1:
+        p = 1.0 / np.arange(1, nalpha + 1) ** 1.1
+        p /= p.sum()
+        symbols = rng.choice(alpha, npairs, p=p).astype(np.uint16)
+    else:
+        symbols = rng.choice(alpha, npairs).astype(np.uint16)
+    return symbols
+
+
+@pytest.mark.parametrize(
+    "seed,npairs,nalpha",
+    [(0, 30000, 150), (1, 2000, 1), (2, 100000, 3000), (3, 513, 2)],
+)
+def test_device_roundtrip(seed, npairs, nalpha):
+    B = 64
+    symbols = _case(seed, npairs, nalpha)
+    n_real = (npairs + B - 1) // B
+    n_lanes = (n_real + GROUP_LANES - 1) // GROUP_LANES * GROUP_LANES
+    padded = np.zeros(n_lanes * B, np.int32)
+    padded[:npairs] = symbols
+    ok, words = roundtrip_device(padded, np.int32(npairs), B)
+    assert bool(ok)
+    assert int(words) > 0
+
+
+def test_fused_streams_match_host_pipeline():
+    B = 64
+    symbols = _case(7, 50000, 500)
+    npairs = symbols.size
+    n_real = (npairs + B - 1) // B
+    n_lanes = (n_real + GROUP_LANES - 1) // GROUP_LANES * GROUP_LANES
+    padded = np.zeros(n_lanes * B, np.int32)
+    padded[:npairs] = symbols
+
+    r = encode_device(padded, np.int32(npairs), B)
+    dev_lengths = np.asarray(r["lengths"])
+
+    # Host pipeline seeded with the device codebook's lengths must produce
+    # byte-identical streams (the codebooks themselves may differ in
+    # optimal tie-breaking; the protocol does not).
+    cb = Codebook.from_lengths(dev_lengths.astype(np.uint8))
+    slab, _, lens = bf._encode_slab_numpy(symbols, cb, n_lanes, B)
+    min_len = int(dev_lengths[dev_lengths > 0].min())
+    eff = il.effective_lengths(lens, npairs, min_len, n_lanes, B)
+    ref_streams = il.build_interleaved_streams(slab, eff, n_real)
+
+    counts = np.asarray(r["counts"])
+    streams = np.asarray(r["streams"])
+    assert len(ref_streams) == streams.shape[0]
+    for g, rs in enumerate(ref_streams):
+        assert counts[g] == rs.size
+        assert np.array_equal(streams[g, : counts[g]], rs)
+
+
+def test_device_interleave_matches_numpy_sim():
+    B = 32
+    symbols = _case(11, 40000, 200)
+    npairs = symbols.size
+    n_real = (npairs + B - 1) // B
+    n_lanes = (n_real + GROUP_LANES - 1) // GROUP_LANES * GROUP_LANES
+    cb = Codebook.from_frequencies(np.bincount(symbols, minlength=MAX_SYMBOLS))
+    slab, _, lens = bf._encode_slab_numpy(symbols, cb, n_lanes, B)
+    min_len = int(cb.lengths[cb.lengths > 0].min())
+    eff = il.effective_lengths(lens, npairs, min_len, n_lanes, B)
+    ref = il.build_interleaved_streams(slab, eff, n_real)
+    streams, counts = build_streams_device(
+        slab.astype(np.uint32), eff, np.int32(n_real), words_cap=B * GROUP_LANES
+    )
+    streams, counts = np.asarray(streams), np.asarray(counts)
+    for g, rs in enumerate(ref):
+        assert counts[g] == rs.size
+        assert np.array_equal(streams[g, : counts[g]], rs)

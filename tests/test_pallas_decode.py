@@ -54,11 +54,9 @@ def _run_kernel(cb, streams, n_real, B, translate=True):
     stacked, _ = il.pad_streams(streams)
     ngroups = len(streams)
     rows_per = stacked.shape[0] // ngroups
-    sym_rows = 1
-    while sym_rows * 128 < max(cb.n_unique, 1):
-        sym_rows <<= 1
-    symtab = np.zeros(sym_rows * 128, dtype=np.int32)
-    symtab[: cb.n_unique] = cb.sym_order
+    symtab, sym_rows, tr_ok = pd.build_symtab(cb.sym_order)
+    if translate:
+        assert tr_ok, "alphabet too large for in-kernel translation"
     meta = np.zeros((ngroups, 4), dtype=np.int32)
     for g in range(ngroups):
         meta[g, 0] = max(0, min(pd.GROUP_LANES, n_real - g * pd.GROUP_LANES))
