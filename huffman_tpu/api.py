@@ -20,6 +20,8 @@ from .container import reference_format
 
 def compress_reference(data: bytes, backend: str | None = None) -> bytes:
     """Compress to the reference ``.compressed`` container format."""
+    if backend == "jax":
+        return reference_format.compress(data, device_payload=True)
     if backend in (None, "native"):
         try:
             from .runtime import native
@@ -44,15 +46,30 @@ def decompress_reference(blob: bytes, backend: str | None = None) -> bytes:
     return reference_format.decompress(blob)
 
 
-def compress(data: bytes, backend: str | None = None, **kwargs) -> bytes:
-    """Compress to the native block container (TPU-parallel decode)."""
+def compress(
+    data: bytes,
+    backend: str | None = None,
+    n_shards: int | None = None,
+    **kwargs,
+) -> bytes:
+    """Compress to the native block container (TPU-parallel decode).
+    ``n_shards`` > 1 produces a sharded HTPX archive (scale-out unit)."""
+    if n_shards and n_shards > 1:
+        from .container import sharded
+
+        return sharded.compress(data, n_shards=n_shards, backend=backend, **kwargs)
     from .container import block_format
 
     return block_format.compress(data, backend=backend, **kwargs)
 
 
 def decompress(blob: bytes, backend: str | None = None, **kwargs) -> bytes:
-    """Decompress a native block container."""
+    """Decompress a native container (HTPU block or HTPX sharded archive —
+    detected by magic)."""
+    from .container import sharded
+
+    if len(blob) >= 4 and int.from_bytes(blob[0:4], "little") == sharded.MAGIC:
+        return sharded.decompress(blob, backend=backend)
     from .container import block_format
 
     return block_format.decompress(blob, backend=backend, **kwargs)

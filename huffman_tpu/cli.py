@@ -102,6 +102,7 @@ def cmd_compress(args) -> int:
         backend=args.backend,
         block_symbols=args.block_symbols,
         mode=args.mode,
+        n_shards=args.shards,
     )
     t.stage("compress", len(data))
     out = Path(args.output) if args.output else src.with_name(src.name + ".htpu")
@@ -170,6 +171,12 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["interleaved", "blocks"],
         default="interleaved",
         help="container profile (v2 interleaved / v1 block slabs)",
+    )
+    sp.add_argument(
+        "--shards",
+        type=int,
+        default=1,
+        help="split into N independently decodable shards (HTPX archive)",
     )
     sp.set_defaults(fn=cmd_compress)
 

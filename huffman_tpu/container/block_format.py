@@ -72,6 +72,21 @@ def _codebook_to_header(cb: Codebook) -> bytes:
     return counts.tobytes() + cb.sym_order.astype("<u2").tobytes()
 
 
+def codebook_from_blob(cb_blob: bytes) -> Codebook:
+    """Parse a standalone counts++symbols codebook blob (the layout
+    _codebook_to_header writes; used by sharded archives)."""
+    counts = np.frombuffer(cb_blob[:_COUNTS_BYTES], dtype="<u4")
+    n = int(counts.sum())
+    syms = np.frombuffer(cb_blob[_COUNTS_BYTES : _COUNTS_BYTES + 2 * n], dtype="<u2")
+    if syms.size != n:
+        raise ValueError("truncated codebook blob")
+    lengths = np.zeros(MAX_SYMBOLS, dtype=np.uint8)
+    lengths[syms] = np.repeat(
+        np.arange(1, MAX_CODE_LEN + 1, dtype=np.uint8), counts.astype(np.int64)
+    )
+    return Codebook.from_lengths(lengths)
+
+
 def _codebook_from_header(blob: bytes, n_unique: int) -> tuple[Codebook, int]:
     counts = np.frombuffer(blob[_HEADER_BYTES : _HEADER_BYTES + _COUNTS_BYTES], dtype="<u4")
     off = _HEADER_BYTES + _COUNTS_BYTES
@@ -86,11 +101,15 @@ def _codebook_from_header(blob: bytes, n_unique: int) -> tuple[Codebook, int]:
     return Codebook.from_lengths(lengths), off
 
 
-def _build_header(version, data, is_odd, last_byte, cb, B, nblocks) -> bytearray:
+def _build_header(
+    version, data, is_odd, last_byte, cb, B, nblocks, embed_codebook=True
+) -> bytearray:
     header = bytearray(_HEADER_BYTES)
     header[0:4] = int(NATIVE_MAGIC).to_bytes(4, "little")
     header[4] = version
-    header[5] = 1 if is_odd else 0
+    # flags: bit0 odd input, bit1 codebook stored externally (sharded
+    # archives pay the symbol table once at the archive level)
+    header[5] = (1 if is_odd else 0) | (0 if embed_codebook else 2)
     header[6] = last_byte
     header[7] = cb.max_len
     header[8:16] = len(data).to_bytes(8, "little")
@@ -168,6 +187,7 @@ def compress(
     block_symbols: int = DEFAULT_BLOCK_SYMBOLS,
     codebook: Codebook | None = None,
     mode: str = "interleaved",
+    embed_codebook: bool = True,
 ) -> bytes:
     symbols, is_odd, last_byte = bytes_to_symbols(data)
     n_pairs = symbols.size
@@ -176,22 +196,36 @@ def compress(
 
     if codebook is None:
         codebook = Codebook.from_frequencies(histogram_host(symbols))
+    elif not embed_codebook:
+        pass  # caller stores the codebook externally (sharded archives)
+    if codebook is None and not embed_codebook:
+        raise ValueError("embed_codebook=False requires an explicit codebook")
 
     if mode == "interleaved":
-        return _compress_v2(data, symbols, is_odd, last_byte, codebook, B, nblocks, backend)
+        return _compress_v2(
+            data, symbols, is_odd, last_byte, codebook, B, nblocks, backend,
+            embed_codebook,
+        )
     if mode == "blocks":
-        return _compress_v1(data, symbols, is_odd, last_byte, codebook, B, nblocks, backend)
+        return _compress_v1(
+            data, symbols, is_odd, last_byte, codebook, B, nblocks, backend,
+            embed_codebook,
+        )
     raise ValueError(f"unknown mode {mode!r}")
 
 
-def _compress_v1(data, symbols, is_odd, last_byte, cb, B, nblocks, backend):
+def _compress_v1(data, symbols, is_odd, last_byte, cb, B, nblocks, backend,
+                 embed_codebook=True):
     slab, block_bits, _ = (
         _encode_slab(symbols, cb, nblocks, B, backend)
         if nblocks
         else (np.zeros((0, 1), np.uint32), np.zeros(0, np.int64), None)
     )
-    out = bytearray(_build_header(1, data, is_odd, last_byte, cb, B, nblocks))
-    out += _codebook_to_header(cb)
+    out = bytearray(
+        _build_header(1, data, is_odd, last_byte, cb, B, nblocks, embed_codebook)
+    )
+    if embed_codebook:
+        out += _codebook_to_header(cb)
     out += block_bits[:nblocks].astype("<u4").tobytes()
     if nblocks:
         word_counts = (block_bits[:nblocks] + 31) // 32
@@ -202,12 +236,16 @@ def _compress_v1(data, symbols, is_odd, last_byte, cb, B, nblocks, backend):
     return bytes(out)
 
 
-def _compress_v2(data, symbols, is_odd, last_byte, cb, B, nblocks, backend):
+def _compress_v2(data, symbols, is_odd, last_byte, cb, B, nblocks, backend,
+                 embed_codebook=True):
     from . import interleave as il
     from ..ops.pallas_decode import GROUP_LANES
 
-    out = bytearray(_build_header(2, data, is_odd, last_byte, cb, B, nblocks))
-    out += _codebook_to_header(cb)
+    out = bytearray(
+        _build_header(2, data, is_odd, last_byte, cb, B, nblocks, embed_codebook)
+    )
+    if embed_codebook:
+        out += _codebook_to_header(cb)
 
     if nblocks == 0:
         out += (0).to_bytes(4, "little")
@@ -246,13 +284,14 @@ def _compress_v2(data, symbols, is_odd, last_byte, cb, B, nblocks, backend):
 class ParsedContainer:
     """Parsed native container header + payload views (host side)."""
 
-    def __init__(self, blob: bytes):
+    def __init__(self, blob: bytes, codebook: Codebook | None = None):
         if len(blob) < _HEADER_BYTES or int.from_bytes(blob[0:4], "little") != NATIVE_MAGIC:
             raise ValueError("not an HTPU container")
         self.version = blob[4]
         if self.version not in (1, 2):
             raise ValueError(f"unsupported container version {blob[4]}")
         self.is_odd = bool(blob[5] & 1)
+        self.external_codebook = bool(blob[5] & 2)
         self.last_byte = blob[6]
         self.max_len = blob[7]
         self.original_size = int.from_bytes(blob[8:16], "little")
@@ -260,7 +299,14 @@ class ParsedContainer:
         self.num_blocks = int.from_bytes(blob[20:24], "little")
         self.n_unique = int.from_bytes(blob[24:28], "little")
         self.crc32 = int.from_bytes(blob[28:32], "little")
-        self.codebook, off = _codebook_from_header(blob, self.n_unique)
+        if self.external_codebook:
+            if codebook is None:
+                raise ValueError(
+                    "container stores its codebook externally; pass codebook="
+                )
+            self.codebook, off = codebook, _HEADER_BYTES
+        else:
+            self.codebook, off = _codebook_from_header(blob, self.n_unique)
 
         if self.version == 1:
             self.block_bits = np.frombuffer(
@@ -311,8 +357,13 @@ class ParsedContainer:
         return slab
 
 
-def decompress(blob: bytes, backend: str | None = None, verify_crc: bool = True) -> bytes:
-    c = ParsedContainer(blob)
+def decompress(
+    blob: bytes,
+    backend: str | None = None,
+    verify_crc: bool = True,
+    codebook: Codebook | None = None,
+) -> bytes:
+    c = ParsedContainer(blob, codebook=codebook)
     n_pairs = (c.original_size - (1 if c.is_odd else 0)) // 2
     if n_pairs == 0:
         data = symbols_to_bytes(np.zeros(0, np.uint16), c.is_odd, c.last_byte)

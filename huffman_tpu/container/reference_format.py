@@ -60,8 +60,15 @@ def histogram_host(symbols: np.ndarray) -> np.ndarray:
     return np.bincount(symbols, minlength=MAX_SYMBOLS).astype(np.int64)
 
 
-def compress(data: bytes, codebook: Codebook | None = None) -> bytes:
-    """Compress raw bytes into the reference ``.compressed`` container."""
+def compress(
+    data: bytes, codebook: Codebook | None = None, device_payload: bool = False
+) -> bytes:
+    """Compress raw bytes into the reference ``.compressed`` container.
+
+    ``device_payload=True`` packs the payload bitstream on the TPU
+    (ops/encode.pack_stream — the device equivalent of the reference's
+    encodeFromCW kernel, Compressor.cu:182-313, for its own single-stream
+    format); the header stays host-side either way."""
     symbols, is_odd, last_byte = bytes_to_symbols(data)
     freqs = histogram_host(symbols)
     if codebook is None:
@@ -103,7 +110,10 @@ def compress(data: bytes, codebook: Codebook | None = None) -> bytes:
     codes, lengths = codebook.encode_symbols_host(symbols)
     start_bit = header.bit_position
     if symbols.size:
-        words, nbits = pack_codes(codes, lengths, start_bit=start_bit)
+        if device_payload:
+            words, nbits = _pack_stream_device(symbols, codebook, start_bit)
+        else:
+            words, nbits = pack_codes(codes, lengths, start_bit=start_bit)
         payload = bytearray(u32_msb_to_bytes(words, nbits))
         head = header.getvalue()
         boundary = start_bit >> 3
@@ -114,6 +124,36 @@ def compress(data: bytes, codebook: Codebook | None = None) -> bytes:
             payload[boundary] |= head[boundary]
         return bytes(payload)
     return header.getvalue()
+
+
+def _pack_stream_device(symbols, codebook: Codebook, start_bit: int):
+    """Pack the whole-file payload bitstream on device. Global bit offsets
+    can pass 2^31, so the device sees (word, bit) offset pairs computed from
+    a host cumsum (ops/encode.pack_stream contract)."""
+    import jax.numpy as jnp
+
+    from ..bitio import exclusive_cumsum
+    from ..ops.encode import pack_stream
+    from ..ops.tables import device_tables
+
+    t = device_tables(codebook)
+    lengths = codebook.lengths[symbols].astype(np.int64)
+    offsets = exclusive_cumsum(lengths, start_bit)
+    nbits = int(offsets[-1] + lengths[-1])
+    total_words = (nbits + 31) >> 5
+    sym_dev = jnp.asarray(symbols.astype(np.int32))
+    codes, lens = (
+        jnp.take(t.enc_codes, sym_dev),
+        jnp.take(t.enc_lens, sym_dev),
+    )
+    words = pack_stream(
+        codes,
+        lens,
+        jnp.asarray((offsets >> 5).astype(np.int32)),
+        jnp.asarray((offsets & 31).astype(np.int32)),
+        total_words,
+    )
+    return np.asarray(words), nbits
 
 
 @dataclass(frozen=True)

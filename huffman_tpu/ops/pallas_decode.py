@@ -51,10 +51,11 @@ from jax.experimental.pallas import tpu as pltpu
 from ..constants import MAX_CODE_LEN
 
 LANES = 128
-SUBLANES = 8
-GROUP_LANES = SUBLANES * LANES  # 1024 streams per decode chain
+SUBLANES = 8                    # sublane rows per decode chain; the group
+                                # size derives from it (tune via scripts/)
+GROUP_LANES = SUBLANES * LANES  # streams per decode chain
 PRELOAD_WORDS = 2               # words 0,1 of every lane head the stream
-WINDOW_ROWS = 9                 # refill window: max slot is 127+1024 < 9*128
+WINDOW_ROWS = SUBLANES + 1      # refill window: max slot 127 + GROUP_LANES
 GATHER_MAX_ALPHABET = 4096      # in-kernel rank->symbol translation limit
 REFILL_THRESHOLD = 33           # refill when valid bits drop below this
 DEFAULT_MULTI = 2               # independent groups interleaved per kernel
@@ -119,12 +120,14 @@ def _prefix_rank(mask: jax.Array, tril128: jax.Array):
     ).astype(jnp.int32)
     row_tot = jnp.broadcast_to(
         jnp.sum(m, axis=1, keepdims=True), mask.shape
-    )  # (8,128) float
+    )  # (rows,128) float
     sub = jax.lax.broadcasted_iota(jnp.int32, mask.shape, 0)
     inc = row_tot
-    for sh in (1, 2, 4):
+    sh = 1
+    while sh < mask.shape[0]:  # doubling fold over sublane rows
         rolled = pltpu.roll(inc, sh, 0)
         inc = inc + jnp.where(sub >= sh, rolled, 0.0)
+        sh <<= 1
     row_off = (inc - row_tot).astype(jnp.int32)  # exclusive over sublanes
     total = jnp.sum(m).astype(jnp.int32)
     return within + row_off, total
@@ -184,7 +187,10 @@ def _decode_kernel(
             # lj bits stored as i32; value-wrap to u32 restores the boundary
             length = length + (peek >= lj_ref[i].astype(jnp.uint32)).astype(jnp.int32)
 
-        base_v = jnp.take_along_axis(base_row, length, axis=1)
+        if "base" in _ABLATE:
+            base_v = length
+        else:
+            base_v = jnp.take_along_axis(base_row, length, axis=1)
         rank = base_v + pltpu.bitcast(
             peek >> ((32 - length).astype(jnp.uint32)), jnp.int32
         )
@@ -203,7 +209,7 @@ def _decode_kernel(
             sym = pltpu.bitcast(half & jnp.uint32(0xFFFF), jnp.int32)
         else:
             sym = rank
-        out_ref[j * n_steps + t] = sym
+        emit = sym
 
         # consume
         sh = length.astype(jnp.uint32)
@@ -245,12 +251,26 @@ def _decode_kernel(
         bufB = jnp.where(mask, bufB | addB, bufB)
         bits = bits + jnp.where(mask, 32, 0)
         head = head + total
-        return bufA, bufB, bits, head
+        return emit, (bufA, bufB, bits, head)
 
-    def body(t, carries):
-        return tuple(chain_step(j, t, carries[j]) for j in range(multi))
+    half = n_steps // 2
 
-    jax.lax.fori_loop(0, n_steps, body, tuple(init(j) for j in range(multi)))
+    def body(tp, carries):
+        # Two protocol steps per iteration; the two 16-bit symbols pack
+        # into one output word. The store was measured at ~1/3 of the whole
+        # step on v5e — halving its bytes is the single biggest win.
+        new = []
+        for j in range(multi):
+            s0, c = chain_step(j, 2 * tp, carries[j])
+            s1, c = chain_step(j, 2 * tp + 1, c)
+            if "out" not in _ABLATE:
+                out_ref[j * half + tp] = (s0 & 0xFFFF) | (s1 << 16)
+            else:
+                c = (c[0], c[1], c[2] + jnp.minimum(s0 + s1, 0), c[3])
+            new.append(c)
+        return tuple(new)
+
+    jax.lax.fori_loop(0, half, body, tuple(init(j) for j in range(multi)))
 
 
 @functools.partial(
@@ -276,7 +296,10 @@ def decode_groups(
 ) -> jax.Array:
     """Decode all groups; returns (ngroups * n_steps, 8, 128) int32 where
     row g*n_steps+t holds step t of group g (lane (s,l) = block
-    g*1024 + s*128 + l)."""
+    g*1024 + s*128 + l). n_steps must be even (the kernel emits packed
+    16-bit symbol pairs to halve its store traffic)."""
+    if n_steps % 2:
+        raise ValueError("n_steps (block_symbols) must be even")
     ngroups = streams.shape[0] // stream_rows
     lj_i32 = jax.lax.bitcast_convert_type(lj_limit, jnp.int32)
     base_pad = jnp.zeros((1, LANES), jnp.uint32).at[0, : MAX_CODE_LEN + 1].set(base)
@@ -299,6 +322,7 @@ def decode_groups(
         _decode_kernel, n_steps=n_steps, max_len=max_len, translate=translate,
         multi=multi, stream_rows=stream_rows,
     )
+    half = n_steps // 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # meta, lj
         grid=(ngroups_p // multi,),
@@ -311,16 +335,25 @@ def decode_groups(
             pl.BlockSpec((sym_rows, 128), lambda g, *_: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (multi * n_steps, SUBLANES, LANES), lambda g, *_: (g, 0, 0),
+            (multi * half, SUBLANES, LANES), lambda g, *_: (g, 0, 0),
             memory_space=pltpu.VMEM,
         ),
     )
-    out = pl.pallas_call(
+    packed = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (ngroups_p * n_steps, SUBLANES, LANES), jnp.int32
+            (ngroups_p * half, SUBLANES, LANES), jnp.int32
         ),
         interpret=interpret,
     )(meta, lj_i32, streams, base_pad, symtab2)
+    # Unpack the 16-bit symbol pairs back to one row per step (fused XLA
+    # pass over the output, ~free next to the kernel itself).
+    u = jax.lax.bitcast_convert_type(packed, jnp.uint32)
+    pair = jnp.stack(
+        [(u & 0xFFFF).astype(jnp.int32), (u >> 16).astype(jnp.int32)], axis=1
+    )  # (G*half, 2, 8, 128)
+    out = pair.reshape(ngroups_p, half, 2, SUBLANES, LANES).reshape(
+        ngroups_p * n_steps, SUBLANES, LANES
+    )
     return out[: ngroups * n_steps] if pad_g else out

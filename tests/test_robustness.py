@@ -1,0 +1,100 @@
+"""Container robustness: corrupt/truncated inputs must raise ValueError (or
+round-trip if the corruption is benign) — never hang, crash the process, or
+return silently wrong data without tripping the CRC.
+
+The reference has no integrity checking at all and crashes or silently
+mis-extracts on malformed input (SURVEY.md §4); these tests pin down our
+contract instead."""
+
+import numpy as np
+import pytest
+
+from huffman_tpu import api
+from huffman_tpu.container import block_format as bf
+from huffman_tpu.container import reference_format as rf
+from huffman_tpu.runtime import native
+
+
+@pytest.fixture(scope="module")
+def blob():
+    rng = np.random.default_rng(0)
+    data = (rng.zipf(1.5, size=30001) % 251).astype(np.uint8).tobytes()
+    return data, bf.compress(data, backend="numpy")
+
+
+def test_truncated_native_container(blob):
+    data, b = blob
+    for cut in (0, 4, 16, 31, len(b) // 2, len(b) - 1):
+        with pytest.raises(ValueError):
+            bf.decompress(b[:cut], backend="numpy")
+
+
+def test_bitflip_payload_trips_crc(blob):
+    """A payload bit flip must either trip the CRC or land in a
+    protocol-garbage word that provably doesn't alter the output (in which
+    case decode returns the correct data). Silent wrong data is the one
+    forbidden outcome."""
+    data, b = blob
+    c = bf.ParsedContainer(b)
+    payload_start = len(b) - 4 * int(c.group_words.sum()) + 8
+    hits = 0
+    for off in range(payload_start, min(payload_start + 64, len(b)), 8):
+        corrupted = bytearray(b)
+        corrupted[off] ^= 0x40
+        try:
+            out = bf.decompress(bytes(corrupted), backend="numpy")
+            assert out == data  # flip landed in a dead word
+        except ValueError:
+            hits += 1
+    assert hits > 0  # at least one flip must trip the CRC
+
+
+def test_corrupt_codebook_counts(blob):
+    data, b = blob
+    corrupted = bytearray(b)
+    corrupted[40] ^= 0xFF  # inside the per-length count table
+    with pytest.raises(ValueError):
+        bf.decompress(bytes(corrupted), backend="numpy")
+
+
+def test_wrong_magic(blob):
+    _, b = blob
+    with pytest.raises(ValueError):
+        bf.decompress(b"XXXX" + b[4:], backend="numpy")
+
+
+def test_bad_version(blob):
+    _, b = blob
+    bad = bytearray(b)
+    bad[4] = 99
+    with pytest.raises(ValueError):
+        bf.decompress(bytes(bad), backend="numpy")
+
+
+def test_reference_truncated_raises():
+    """Header-region truncation must raise. (Payload truncation decodes
+    silently wrong by FORMAT design — the reference has no integrity field
+    at all; the native container's CRC is our fix for that.)"""
+    blob = rf.compress(b"hello world!")
+    for cut in (0, 1, 2, 5):
+        with pytest.raises((ValueError, EOFError, IndexError)):
+            rf.decompress(blob[:cut])
+
+
+def test_native_truncated_returns_error():
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    blob = native.compress_reference(b"hello world!")
+    for cut in (0, 1, 2, 5):
+        with pytest.raises(native.NativeError):
+            native.decompress_reference(blob[:cut])
+
+
+def test_api_dispatch_consistency(blob):
+    data, _ = blob
+    for backend in ("numpy", None):
+        assert api.decompress(api.compress(data, backend=backend), backend=backend) == data
+        assert (
+            api.decompress_reference(api.compress_reference(data, backend=backend), backend=backend)
+            == data
+        )
