@@ -142,6 +142,13 @@ def _encode_slab(symbols, codebook, nblocks, B, backend):
 
 
 def _encode_slab_numpy(symbols, codebook, nblocks, B):
+    try:
+        from ..runtime import native
+
+        if native.available():
+            return native.encode_blocks(symbols, codebook, nblocks, B, _bucket_words)
+    except ImportError:
+        pass
     from ..bitio import pack_codes_blocked
 
     padded = np.zeros(nblocks * B, dtype=np.uint16)

@@ -97,6 +97,12 @@ def _load() -> ctypes.CDLL | None:
             p32, i64, i64, pi32, i64, i64, p32, i64, pi64,
         ]
         lib.htpu_interleave_build.restype = ctypes.c_int
+        lib.htpu_block_bits.argtypes = [p16, i64, i64, i64, p8, pi64, pi32]
+        lib.htpu_block_bits.restype = ctypes.c_int
+        lib.htpu_encode_blocks.argtypes = [
+            p16, i64, i64, i64, p32, p8, i64, p32,
+        ]
+        lib.htpu_encode_blocks.restype = ctypes.c_int
         lib.htpu_interleave_decode.argtypes = [
             p32, i64, p32, p32, p16, i64, ctypes.c_int32, i64, i64, p16,
         ]
@@ -176,6 +182,40 @@ def decompress_reference(blob: bytes) -> bytes:
     if rc != 0:
         raise NativeError("htpu_ref_decompress", rc)
     return out[: n.value].tobytes()
+
+
+def encode_blocks(
+    symbols: np.ndarray, codebook, n_lanes: int, B: int, bucket_words
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Threaded per-block slab pack (native twin of
+    container.block_format._encode_slab_numpy). Returns
+    (slab (n_lanes, W) uint32, block_bits (n_lanes,) int64,
+    lens (n_lanes, B) int32)."""
+    lib = _load()
+    assert lib is not None
+    symbols = np.ascontiguousarray(symbols, dtype=np.uint16)
+    n_pairs = symbols.size
+    lens_tbl = np.ascontiguousarray(codebook.lengths, dtype=np.uint8)
+    codes_tbl = np.ascontiguousarray(codebook.codes, dtype=np.uint32)
+    block_bits = np.zeros(n_lanes, dtype=np.int64)
+    lens_out = np.zeros(n_lanes * B, dtype=np.int32)
+    rc = lib.htpu_block_bits(
+        _ptr(symbols, ctypes.c_uint16), n_pairs, n_lanes, B,
+        _ptr(lens_tbl, ctypes.c_uint8),
+        _ptr(block_bits, ctypes.c_int64), _ptr(lens_out, ctypes.c_int32),
+    )
+    if rc != 0:
+        raise NativeError("htpu_block_bits", rc)
+    W = bucket_words(int((block_bits.max(initial=1) + 31) // 32))
+    slab = np.zeros((n_lanes, W), dtype=np.uint32)
+    rc = lib.htpu_encode_blocks(
+        _ptr(symbols, ctypes.c_uint16), n_pairs, n_lanes, B,
+        _ptr(codes_tbl, ctypes.c_uint32), _ptr(lens_tbl, ctypes.c_uint8),
+        W, _ptr(slab, ctypes.c_uint32),
+    )
+    if rc != 0:
+        raise NativeError("htpu_encode_blocks", rc)
+    return slab, block_bits, lens_out.reshape(n_lanes, B)
 
 
 def interleave_build(slab: np.ndarray, eff_lens: np.ndarray, n_real: int) -> list[np.ndarray]:

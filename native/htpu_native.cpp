@@ -23,7 +23,9 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 #define HTPU_API extern "C" __attribute__((visibility("default")))
@@ -41,6 +43,31 @@ namespace {
 
 constexpr int kMaxSymbols = 65536;
 constexpr int kMaxCodeLen = 32;
+
+int num_threads(int64_t work_items, int64_t min_per_thread) {
+  const char* env = std::getenv("HTPU_THREADS");
+  int hw = env ? std::atoi(env) : (int)std::thread::hardware_concurrency();
+  if (hw < 1) hw = 1;
+  int64_t by_work = work_items / std::max<int64_t>(min_per_thread, 1);
+  return (int)std::max<int64_t>(1, std::min<int64_t>(hw, by_work));
+}
+
+template <typename F>
+void parallel_for(int64_t n, int64_t min_per_thread, F&& f) {
+  int nt = num_threads(n, min_per_thread);
+  if (nt <= 1) {
+    f(0, n, 0);
+    return;
+  }
+  std::vector<std::thread> ts;
+  int64_t per = (n + nt - 1) / nt;
+  for (int i = 0; i < nt; ++i) {
+    int64_t a = i * per, b = std::min<int64_t>(n, a + per);
+    if (a >= b) break;
+    ts.emplace_back([&f, a, b, i] { f(a, b, i); });
+  }
+  for (auto& t : ts) t.join();
+}
 
 // ---------------------------------------------------------------------------
 // Bit I/O (MSB-first, matching the reference's stream convention)
@@ -270,14 +297,70 @@ HTPU_API int htpu_ref_compress(const uint8_t* data, int64_t data_len,
 
   for (int i = 0; i < 8; ++i)
     w.write((uint64_t)((data_len >> (8 * i)) & 0xFF), 8);
+  if (w.overflow) return HTPU_E_OVERFLOW;
 
-  for (int64_t i = 0; i < n_pairs; ++i) {
-    uint16_t sym = (uint16_t)(data[2 * i] | (data[2 * i + 1] << 8));
-    w.write(codes[sym], lengths[sym]);
-    if (w.overflow) return HTPU_E_OVERFLOW;
-  }
-  if (!w.flush()) return HTPU_E_OVERFLOW;
-  *out_len = w.n;
+  // Payload: chunked two-pass parallel pack. Pass 1 sums bits per chunk,
+  // a serial scan places each chunk's absolute bit offset, pass 2 packs
+  // chunks into thread-local buffers OR-merged into the output (codewords
+  // occupy disjoint bit ranges, so byte-OR across seams is exact; each
+  // chunk's first byte is deferred and applied serially to avoid races on
+  // shared seam bytes).
+  int64_t start_bit = w.n * 8 + w.bits;
+  int nt = num_threads(n_pairs, 1 << 18);
+  int64_t per = n_pairs ? (n_pairs + nt - 1) / nt : 0;
+  std::vector<int64_t> chunk_bits((size_t)nt, 0);
+  parallel_for(nt, 1, [&](int64_t a, int64_t b, int) {
+    for (int64_t c = a; c < b; ++c) {
+      int64_t lo = c * per, hi = std::min<int64_t>(n_pairs, lo + per);
+      int64_t bits = 0;
+      for (int64_t i = lo; i < hi; ++i)
+        bits += lengths[data[2 * i] | (data[2 * i + 1] << 8)];
+      chunk_bits[(size_t)c] = bits;
+    }
+  });
+  std::vector<int64_t> chunk_start((size_t)nt + 1);
+  chunk_start[0] = start_bit;
+  for (int c = 0; c < nt; ++c)
+    chunk_start[(size_t)c + 1] = chunk_start[(size_t)c] + chunk_bits[(size_t)c];
+  int64_t total_bits = chunk_start[(size_t)nt];
+  int64_t total_bytes = (total_bits + 7) >> 3;
+  if (total_bytes > out_cap) return HTPU_E_OVERFLOW;
+
+  // Materialize the header's partial byte, zero the payload region.
+  int64_t hdr_bytes = w.n;
+  if (w.bits) out[hdr_bytes] = (uint8_t)(w.acc << (8 - w.bits));
+  std::memset(out + hdr_bytes + (w.bits ? 1 : 0), 0,
+              (size_t)(total_bytes - hdr_bytes - (w.bits ? 1 : 0)));
+
+  std::vector<uint8_t> first_byte((size_t)nt, 0);
+  std::vector<int64_t> first_pos((size_t)nt, -1);
+  int err = HTPU_OK;
+  parallel_for(nt, 1, [&](int64_t a, int64_t b, int) {
+    for (int64_t c = a; c < b; ++c) {
+      int64_t lo = c * per, hi = std::min<int64_t>(n_pairs, lo + per);
+      if (lo >= hi) continue;
+      int64_t sb = chunk_start[(size_t)c];
+      std::vector<uint8_t> local((size_t)(chunk_bits[(size_t)c] / 8 + 16), 0);
+      BitWriter lw{local.data(), (int64_t)local.size()};
+      lw.write(0, (int)(sb & 7));  // align to the absolute bit offset
+      for (int64_t i = lo; i < hi; ++i) {
+        uint16_t sym = (uint16_t)(data[2 * i] | (data[2 * i + 1] << 8));
+        lw.write(codes[sym], lengths[sym]);
+        if (lw.overflow) { err = HTPU_E_OVERFLOW; return; }
+      }
+      if (!lw.flush()) { err = HTPU_E_OVERFLOW; return; }
+      int64_t base = sb >> 3;
+      first_pos[(size_t)c] = base;
+      first_byte[(size_t)c] = lw.n ? local[0] : 0;
+      // Bytes past the first are exclusively this chunk's except the last,
+      // which the NEXT chunk defers — safe to OR now.
+      for (int64_t k = 1; k < lw.n; ++k) out[base + k] |= local[(size_t)k];
+    }
+  });
+  if (err != HTPU_OK) return err;
+  for (int c = 0; c < nt; ++c)
+    if (first_pos[(size_t)c] >= 0) out[first_pos[(size_t)c]] |= first_byte[(size_t)c];
+  *out_len = total_bytes;
   return HTPU_OK;
 }
 
@@ -456,38 +539,57 @@ HTPU_API int htpu_interleave_build(const uint32_t* slab, int64_t n_lanes,
   if (!slab || !eff_lens || !out || !group_sizes) return HTPU_E_ARGS;
   if (n_lanes % kGroupLanes) return HTPU_E_ARGS;
   int64_t n_groups = n_lanes / kGroupLanes;
-  int64_t out_n = 0;
 
-  std::vector<int64_t> bits(kGroupLanes);
-  std::vector<int32_t> nxt(kGroupLanes);
-  for (int64_t g = 0; g < n_groups; ++g) {
-    int64_t lane0 = g * kGroupLanes;
-    int64_t start = out_n;
-    // Preload words 0,1 of every lane (lane-major).
-    for (int p = 0; p < kPreloadWords; ++p)
+  // Pass 1 (parallel over groups): exact stream sizes in closed form —
+  // a real lane consumes total_bits >> 5 refill words.
+  std::vector<int64_t> offsets((size_t)n_groups + 1, 0);
+  int err = HTPU_OK;
+  parallel_for(n_groups, 1, [&](int64_t a, int64_t b, int) {
+    for (int64_t g = a; g < b; ++g) {
+      int64_t lane0 = g * kGroupLanes, words = kPreloadWords * kGroupLanes;
       for (int l = 0; l < kGroupLanes; ++l) {
-        if (out_n >= out_cap) return HTPU_E_OVERFLOW;
-        out[out_n++] = (p < W) ? slab[(lane0 + l) * W + p] : 0;
+        if (lane0 + l >= n_real) continue;
+        int64_t cum = 0;
+        const int32_t* e = eff_lens + (lane0 + l) * B;
+        for (int64_t t = 0; t < B; ++t) cum += e[t];
+        words += cum >> 5;
       }
-    for (int l = 0; l < kGroupLanes; ++l) {
-      bits[l] = (lane0 + l < n_real) ? 64 : (int64_t)1 << 30;
-      nxt[l] = kPreloadWords;
+      group_sizes[g] = words;
     }
-    for (int64_t t = 0; t < B; ++t) {
+  });
+  for (int64_t g = 0; g < n_groups; ++g)
+    offsets[(size_t)g + 1] = offsets[(size_t)g] + group_sizes[g];
+  if (offsets[(size_t)n_groups] > out_cap) return HTPU_E_OVERFLOW;
+
+  // Pass 2 (parallel over groups): simulate each group independently.
+  parallel_for(n_groups, 1, [&](int64_t a, int64_t b, int) {
+    std::vector<int64_t> bits(kGroupLanes);
+    std::vector<int32_t> nxt(kGroupLanes);
+    for (int64_t g = a; g < b; ++g) {
+      int64_t lane0 = g * kGroupLanes;
+      uint32_t* dst = out + offsets[(size_t)g];
+      int64_t n = 0;
+      for (int p = 0; p < kPreloadWords; ++p)
+        for (int l = 0; l < kGroupLanes; ++l)
+          dst[n++] = (p < W) ? slab[(lane0 + l) * W + p] : 0;
       for (int l = 0; l < kGroupLanes; ++l) {
-        bits[l] -= eff_lens[(lane0 + l) * B + t];
-        if (bits[l] < kRefillThreshold) {
-          if (bits[l] < 1) return HTPU_E_INVARIANT;
-          if (out_n >= out_cap) return HTPU_E_OVERFLOW;
-          int32_t idx = nxt[l]++;
-          out[out_n++] = (idx < W) ? slab[(lane0 + l) * W + idx] : 0;
-          bits[l] += 32;
+        bits[l] = (lane0 + l < n_real) ? 64 : (int64_t)1 << 30;
+        nxt[l] = kPreloadWords;
+      }
+      for (int64_t t = 0; t < B; ++t) {
+        for (int l = 0; l < kGroupLanes; ++l) {
+          bits[l] -= eff_lens[(lane0 + l) * B + t];
+          if (bits[l] < kRefillThreshold) {
+            if (bits[l] < 1) { err = HTPU_E_INVARIANT; return; }
+            int32_t idx = nxt[l]++;
+            dst[n++] = (idx < W) ? slab[(lane0 + l) * W + idx] : 0;
+            bits[l] += 32;
+          }
         }
       }
     }
-    group_sizes[g] = out_n - start;
-  }
-  return HTPU_OK;
+  });
+  return err;
 }
 
 // ---------------------------------------------------------------------------
@@ -563,7 +665,89 @@ HTPU_API int htpu_histogram(const uint8_t* data, int64_t data_len,
   if ((!data && data_len) || !freqs) return HTPU_E_ARGS;
   std::memset(freqs, 0, kMaxSymbols * sizeof(int64_t));
   int64_t n_pairs = data_len / 2;
-  for (int64_t i = 0; i < n_pairs; ++i)
-    freqs[data[2 * i] | (data[2 * i + 1] << 8)]++;
+  int nt = num_threads(n_pairs, 1 << 17);
+  if (nt <= 1) {
+    for (int64_t i = 0; i < n_pairs; ++i)
+      freqs[data[2 * i] | (data[2 * i + 1] << 8)]++;
+    return HTPU_OK;
+  }
+  std::vector<std::vector<int64_t>> locals(
+      (size_t)nt, std::vector<int64_t>(kMaxSymbols, 0));
+  parallel_for(n_pairs, 1 << 17, [&](int64_t a, int64_t b, int tid) {
+    int64_t* h = locals[(size_t)tid].data();
+    for (int64_t i = a; i < b; ++i)
+      h[data[2 * i] | (data[2 * i + 1] << 8)]++;
+  });
+  parallel_for(kMaxSymbols, 4096, [&](int64_t a, int64_t b, int) {
+    for (int64_t s = a; s < b; ++s) {
+      int64_t acc = 0;
+      for (int t = 0; t < nt; ++t) acc += locals[(size_t)t][(size_t)s];
+      freqs[s] = acc;
+    }
+  });
   return HTPU_OK;
+}
+
+// ---------------------------------------------------------------------------
+// Public: per-block slab encode (the HTPU container's pack stage)
+// ---------------------------------------------------------------------------
+
+// Pass 1: per-block payload bit counts and the per-position length table.
+// Symbols at index >= n_pairs are padding (length 0 regardless of value).
+HTPU_API int htpu_block_bits(const uint16_t* symbols, int64_t n_pairs,
+                             int64_t n_lanes, int64_t B, const uint8_t* lens,
+                             int64_t* block_bits, int32_t* lens_out) {
+  if (!symbols || !lens || !block_bits || !lens_out) return HTPU_E_ARGS;
+  parallel_for(n_lanes, 64, [&](int64_t a, int64_t b, int) {
+    for (int64_t l = a; l < b; ++l) {
+      int64_t bits = 0;
+      for (int64_t t = 0; t < B; ++t) {
+        int64_t i = l * B + t;
+        int32_t len = (i < n_pairs) ? lens[symbols[i]] : 0;
+        lens_out[i] = len;
+        bits += len;
+      }
+      block_bits[l] = bits;
+    }
+  });
+  return HTPU_OK;
+}
+
+// Pass 2: pack every block's codewords into its (W-word, MSB-first) slab
+// row. Blocks are independent -> parallel over lanes.
+HTPU_API int htpu_encode_blocks(const uint16_t* symbols, int64_t n_pairs,
+                                int64_t n_lanes, int64_t B,
+                                const uint32_t* codes, const uint8_t* lens,
+                                int64_t W, uint32_t* slab) {
+  if (!symbols || !codes || !lens || !slab) return HTPU_E_ARGS;
+  std::memset(slab, 0, (size_t)(n_lanes * W) * 4);
+  int err = HTPU_OK;
+  parallel_for(n_lanes, 64, [&](int64_t a, int64_t b, int) {
+    for (int64_t l = a; l < b; ++l) {
+      uint32_t* row = slab + l * W;
+      uint64_t acc = 0;  // staging window, MSB-first
+      int filled = 0;    // bits in acc
+      int64_t w = 0;
+      for (int64_t t = 0; t < B; ++t) {
+        int64_t i = l * B + t;
+        if (i >= n_pairs) break;
+        uint16_t s = symbols[i];
+        int len = lens[s];
+        if (!len) continue;
+        acc = (acc << len) | codes[s];
+        filled += len;
+        if (filled >= 32) {
+          if (w >= W) { err = HTPU_E_OVERFLOW; return; }
+          row[w++] = (uint32_t)(acc >> (filled - 32));
+          filled -= 32;
+          acc &= (filled ? ((1ull << filled) - 1) : 0ull);
+        }
+      }
+      if (filled) {
+        if (w >= W) { err = HTPU_E_OVERFLOW; return; }
+        row[w] = (uint32_t)(acc << (32 - filled));
+      }
+    }
+  });
+  return err;
 }
