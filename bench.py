@@ -101,7 +101,7 @@ def main() -> None:
         return pd.decode_groups(
             streams_dev, *args[1:], B, rows_per, sym_rows,
             max_len=max(cb.max_len, 1), translate=translate,
-            interpret=not on_tpu,
+            min_len=min_len, interpret=not on_tpu,
         )
 
     out = np.asarray(run(args[0]))

@@ -195,30 +195,54 @@ def compress(
     codebook: Codebook | None = None,
     mode: str = "interleaved",
     embed_codebook: bool = True,
+    max_code_len: int | None = None,
 ) -> bytes:
+    """``max_code_len`` (e.g. 18) trades a fraction of a percent of ratio
+    for a shorter decode-kernel length search (its cost is linear in the
+    codebook depth); built with optimal package-merge when set."""
     symbols, is_odd, last_byte = bytes_to_symbols(data)
     n_pairs = symbols.size
     B = block_symbols
     nblocks = (n_pairs + B - 1) // B
 
     if codebook is None:
-        codebook = Codebook.from_frequencies(histogram_host(symbols))
+        freqs = histogram_host(symbols)
+        if max_code_len is not None and max_code_len < MAX_CODE_LEN:
+            from ..ops.device_codebook import device_code_lengths
+
+            lengths = np.asarray(
+                device_code_lengths(
+                    freqs.astype(np.int32), max_len=max_code_len
+                )
+            ).astype(np.uint8)
+            codebook = Codebook.from_lengths(lengths)
+        else:
+            codebook = Codebook.from_frequencies(freqs)
     elif not embed_codebook:
         pass  # caller stores the codebook externally (sharded archives)
     if codebook is None and not embed_codebook:
         raise ValueError("embed_codebook=False requires an explicit codebook")
 
     if mode == "interleaved":
-        return _compress_v2(
+        out = _compress_v2(
             data, symbols, is_odd, last_byte, codebook, B, nblocks, backend,
             embed_codebook,
         )
-    if mode == "blocks":
-        return _compress_v1(
+    elif mode == "blocks":
+        out = _compress_v1(
             data, symbols, is_odd, last_byte, codebook, B, nblocks, backend,
             embed_codebook,
         )
-    raise ValueError(f"unknown mode {mode!r}")
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    if len(out) >= _HEADER_BYTES + len(data):
+        # Incompressible input: stored mode (flags bit2) — header + raw
+        # bytes. The reference inflates such inputs by ~10% (SURVEY.md §6,
+        # the bundled JPEG); we cap the overhead at the 32-byte header.
+        header = _build_header(1, data, False, 0, codebook, B, 0)
+        header[5] |= 4
+        return bytes(header) + data
+    return out
 
 
 def _compress_v1(data, symbols, is_odd, last_byte, cb, B, nblocks, backend,
@@ -299,6 +323,7 @@ class ParsedContainer:
             raise ValueError(f"unsupported container version {blob[4]}")
         self.is_odd = bool(blob[5] & 1)
         self.external_codebook = bool(blob[5] & 2)
+        self.stored = bool(blob[5] & 4)
         self.last_byte = blob[6]
         self.max_len = blob[7]
         self.original_size = int.from_bytes(blob[8:16], "little")
@@ -306,6 +331,10 @@ class ParsedContainer:
         self.num_blocks = int.from_bytes(blob[20:24], "little")
         self.n_unique = int.from_bytes(blob[24:28], "little")
         self.crc32 = int.from_bytes(blob[28:32], "little")
+        if self.stored:
+            self.codebook = None
+            self.payload = blob[_HEADER_BYTES:]
+            return
         if self.external_codebook:
             if codebook is None:
                 raise ValueError(
@@ -371,6 +400,13 @@ def decompress(
     codebook: Codebook | None = None,
 ) -> bytes:
     c = ParsedContainer(blob, codebook=codebook)
+    if c.stored:
+        data = bytes(c.payload[: c.original_size])
+        if len(data) != c.original_size:
+            raise ValueError("truncated stored container")
+        if verify_crc and (zlib.crc32(data) & 0xFFFFFFFF) != c.crc32:
+            raise ValueError("CRC mismatch: corrupt container")
+        return data
     n_pairs = (c.original_size - (1 if c.is_odd else 0)) // 2
     if n_pairs == 0:
         data = symbols_to_bytes(np.zeros(0, np.uint16), c.is_odd, c.last_byte)
@@ -446,6 +482,9 @@ def _decode_v2(c: ParsedContainer, backend) -> np.ndarray:
         sym_rows,
         max_len=max(cb.max_len, 1),
         translate=bool(translate),
+        min_len=(
+            int(cb.lengths[cb.lengths > 0].min()) if cb.n_unique else 1
+        ),
         # Mosaic only runs on TPU; an explicit jax backend on CPU (tests)
         # exercises the kernel through the interpreter.
         interpret=not _use_device(),

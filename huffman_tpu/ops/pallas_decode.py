@@ -146,6 +146,7 @@ def _decode_kernel(
     translate: bool,
     multi: int,
     stream_rows: int,
+    min_len: int = 1,
 ):
     # max_len and translate are compile-time codebook properties: the length
     # loop unrolls to exactly max_len-1 compares (not MAX_CODE_LEN-1) and
@@ -182,8 +183,12 @@ def _decode_kernel(
         bufA, bufB, bits, head = carry
         peek = bufA
 
-        length = jnp.ones(shape, jnp.int32)
-        for i in range(max_len - 1 if "len1" not in _ABLATE else 1):
+        # No code is shorter than min_len, so boundaries below it are
+        # never crossed — start the canonical length search there.
+        length = jnp.full(shape, min_len, jnp.int32)
+        for i in range(
+            min_len - 1, max_len - 1 if "len1" not in _ABLATE else min_len
+        ):
             # lj bits stored as i32; value-wrap to u32 restores the boundary
             length = length + (peek >= lj_ref[i].astype(jnp.uint32)).astype(jnp.int32)
 
@@ -277,7 +282,7 @@ def _decode_kernel(
     jax.jit,
     static_argnames=(
         "n_steps", "stream_rows", "sym_rows", "max_len", "translate",
-        "multi", "interpret",
+        "multi", "min_len", "interpret",
     ),
 )
 def decode_groups(
@@ -292,6 +297,7 @@ def decode_groups(
     max_len: int = MAX_CODE_LEN,
     translate: bool = True,
     multi: int = DEFAULT_MULTI,
+    min_len: int = 1,
     interpret: bool = False,
 ) -> jax.Array:
     """Decode all groups; returns (ngroups * n_steps, 8, 128) int32 where
@@ -321,6 +327,7 @@ def decode_groups(
     kernel = functools.partial(
         _decode_kernel, n_steps=n_steps, max_len=max_len, translate=translate,
         multi=multi, stream_rows=stream_rows,
+        min_len=max(1, min(min_len, max_len)),
     )
     half = n_steps // 2
     grid_spec = pltpu.PrefetchScalarGridSpec(

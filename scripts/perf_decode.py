@@ -78,7 +78,7 @@ def main():
         return pd.decode_groups(
             s, *args, B, rows_per, sym_rows,
             max_len=max(cb.max_len, 1), translate=translate, multi=multi,
-            
+            min_len=min_len,
         )
 
     # correctness (skipped under ablation — output is wrong by design)

@@ -79,3 +79,30 @@ def test_public_api_roundtrip(romeo_bytes):
     assert ht.decompress(blob) == romeo_bytes
     ref = ht.compress_reference(romeo_bytes)
     assert ht.decompress_reference(ref) == romeo_bytes
+
+
+def test_stored_mode_for_incompressible(jpeg_bytes):
+    """Incompressible input falls back to stored mode: 32-byte overhead
+    instead of the reference's ~10% inflation (its jpeg grows 3,081,163 ->
+    3,390,172 B; SURVEY.md §6)."""
+    blob = bf.compress(jpeg_bytes, backend="numpy")
+    assert len(blob) == len(jpeg_bytes) + 32
+    assert bf.decompress(blob, backend="numpy") == jpeg_bytes
+
+
+def test_stored_mode_random_bytes():
+    rng = np.random.default_rng(3)
+    data = rng.integers(0, 256, 100001, dtype=np.uint8).tobytes()
+    blob = bf.compress(data, backend="numpy")
+    assert len(blob) <= len(data) + 32
+    assert bf.decompress(blob, backend="numpy") == data
+
+
+def test_stored_mode_crc():
+    rng = np.random.default_rng(5)
+    data = rng.integers(0, 256, 5000, dtype=np.uint8).tobytes()
+    blob = bytearray(bf.compress(data, backend="numpy"))
+    assert blob[5] & 4  # stored
+    blob[100] ^= 1
+    with pytest.raises(ValueError, match="CRC|corrupt"):
+        bf.decompress(bytes(blob), backend="numpy")
