@@ -74,7 +74,16 @@ def main() -> None:
     n_lanes = (n_real + pd.GROUP_LANES - 1) // pd.GROUP_LANES * pd.GROUP_LANES
     ngroups = n_lanes // pd.GROUP_LANES
 
-    cb = Codebook.from_frequencies(np.bincount(symbols, minlength=MAX_SYMBOLS))
+    freqs = np.bincount(symbols, minlength=MAX_SYMBOLS)
+    cb = Codebook.from_frequencies(freqs)
+    if cb.max_len > 18:  # the native container's depth-limit default
+        from huffman_tpu.ops.device_codebook import device_code_lengths
+
+        cb = Codebook.from_lengths(
+            np.asarray(
+                device_code_lengths(freqs.astype(np.int32), max_len=18)
+            ).astype(np.uint8)
+        )
     slab, block_bits, lens = bf._encode_slab_numpy(
         symbols.astype(np.uint16), cb, n_lanes, B
     )

@@ -48,6 +48,7 @@ import numpy as np
 from ..codebook import Codebook
 from ..constants import (
     DEFAULT_BLOCK_SYMBOLS,
+    DEFAULT_MAX_CODE_LEN,
     MAX_CODE_LEN,
     MAX_SYMBOLS,
     NATIVE_MAGIC,
@@ -195,11 +196,13 @@ def compress(
     codebook: Codebook | None = None,
     mode: str = "interleaved",
     embed_codebook: bool = True,
-    max_code_len: int | None = None,
+    max_code_len: int | None = DEFAULT_MAX_CODE_LEN,
 ) -> bytes:
-    """``max_code_len`` (e.g. 18) trades a fraction of a percent of ratio
-    for a shorter decode-kernel length search (its cost is linear in the
-    codebook depth); built with optimal package-merge when set."""
+    """``max_code_len`` trades a fraction of a percent of ratio for a
+    shorter decode-kernel length search (its cost is linear in codebook
+    depth). The cheap two-queue build runs first; only when the optimal
+    code is actually deeper does the optimal package-merge rebuild run.
+    Pass None to disable."""
     symbols, is_odd, last_byte = bytes_to_symbols(data)
     n_pairs = symbols.size
     B = block_symbols
@@ -207,7 +210,8 @@ def compress(
 
     if codebook is None:
         freqs = histogram_host(symbols)
-        if max_code_len is not None and max_code_len < MAX_CODE_LEN:
+        codebook = Codebook.from_frequencies(freqs)
+        if max_code_len is not None and codebook.max_len > max_code_len:
             from ..ops.device_codebook import device_code_lengths
 
             lengths = np.asarray(
@@ -216,8 +220,6 @@ def compress(
                 )
             ).astype(np.uint8)
             codebook = Codebook.from_lengths(lengths)
-        else:
-            codebook = Codebook.from_frequencies(freqs)
     elif not embed_codebook:
         pass  # caller stores the codebook externally (sharded archives)
     if codebook is None and not embed_codebook:

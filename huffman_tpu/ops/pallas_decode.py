@@ -184,13 +184,23 @@ def _decode_kernel(
         peek = bufA
 
         # No code is shorter than min_len, so boundaries below it are
-        # never crossed — start the canonical length search there.
-        length = jnp.full(shape, min_len, jnp.int32)
-        for i in range(
-            min_len - 1, max_len - 1 if "len1" not in _ABLATE else min_len
-        ):
+        # never crossed — start the canonical length search there. The
+        # compares are mutually independent (peek vs scalar boundaries);
+        # summing them as a balanced tree keeps the dependency chain at
+        # log2 depth instead of one long serial accumulate.
+        hi = max_len - 1 if "len1" not in _ABLATE else min_len
+        terms = [
             # lj bits stored as i32; value-wrap to u32 restores the boundary
-            length = length + (peek >= lj_ref[i].astype(jnp.uint32)).astype(jnp.int32)
+            (peek >= lj_ref[i].astype(jnp.uint32)).astype(jnp.int32)
+            for i in range(min_len - 1, hi)
+        ]
+        terms.append(jnp.full(shape, min_len, jnp.int32))
+        while len(terms) > 1:
+            terms = [
+                terms[k] + terms[k + 1] if k + 1 < len(terms) else terms[k]
+                for k in range(0, len(terms), 2)
+            ]
+        length = terms[0]
 
         if "base" in _ABLATE:
             base_v = length

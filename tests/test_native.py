@@ -128,3 +128,27 @@ def test_block_container_native_backend_roundtrip():
     data = rng.integers(0, 256, size=123457, dtype=np.uint8).tobytes()
     blob = bf.compress(data, backend="numpy")
     assert bf.decompress(blob, backend="numpy") == data
+
+
+@pytest.mark.parametrize("threads", ["2", "3", "7"])
+def test_parallel_ref_compress_bit_identical(threads, monkeypatch, romeo_bytes):
+    """The chunked parallel payload writer (seam bytes OR-merged) must stay
+    bit-identical at any thread count — forced via HTPU_THREADS since this
+    box exposes one core."""
+    monkeypatch.setenv("HTPU_THREADS", threads)
+    blob = native.compress_reference(romeo_bytes)
+    monkeypatch.setenv("HTPU_THREADS", "1")
+    ref = native.compress_reference(romeo_bytes)
+    assert blob == ref
+    assert native.decompress_reference(blob) == romeo_bytes
+
+
+def test_parallel_histogram_and_interleave_threads(monkeypatch):
+    rng = np.random.default_rng(8)
+    data = (rng.zipf(1.5, size=200001) % 250).astype(np.uint8).tobytes()
+    symbols, _, _ = rf.bytes_to_symbols(data)
+    monkeypatch.setenv("HTPU_THREADS", "5")
+    h = native.histogram(data)
+    assert np.array_equal(h, rf.histogram_host(symbols))
+    blob = bf.compress(data, backend="numpy")
+    assert bf.decompress(blob, backend="numpy") == data
