@@ -25,30 +25,9 @@ import numpy as np
 
 
 def _timed_repeat(jax, jnp, decode_fn, streams, iters: int):
-    """Run ``decode_fn`` ``iters`` times inside one jit program; each
-    iteration's input depends on the previous output through a write into
-    the stream's padding slack (never consumed -> identical decode, but a
-    real data dependency, so XLA cannot hoist the kernel out of the loop)."""
+    from huffman_tpu.utils.timing import amortized_time_fn
 
-    @jax.jit
-    def many(streams):
-        def body(i, carry):
-            s, chk = carry
-            s = s.at[-1, -1].set(chk)
-            out = decode_fn(s)
-            chk = jnp.bitwise_xor(
-                chk, out[0, 0, 0].astype(jnp.uint32) & jnp.uint32(1)
-            )
-            return s, chk
-
-        _, chk = jax.lax.fori_loop(
-            0, iters, body, (streams, jnp.uint32(0))
-        )
-        return chk
-
-    from huffman_tpu.utils.timing import time_fn
-
-    return time_fn(many, streams, iters=3, warmup=1) / iters
+    return amortized_time_fn(decode_fn, streams, iters=iters)
 
 
 def main() -> None:

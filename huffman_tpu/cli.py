@@ -197,7 +197,9 @@ def main(argv: list[str] | None = None) -> int:
     except FileNotFoundError as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
-    except ValueError as e:
+    except (ValueError, RuntimeError, EOFError) as e:
+        # RuntimeError covers runtime.native.NativeError (corrupt input
+        # through the C++ decoder); EOFError covers truncated headers.
         print(f"error: {e}", file=sys.stderr)
         return 2
 

@@ -137,7 +137,7 @@ def _use_device() -> bool:
 def _encode_slab(symbols, codebook, nblocks, B, backend):
     """Pack every block's codewords into an (nblocks, W) word slab plus
     per-block bit counts and the per-position length table."""
-    if backend == "numpy" or not _use_device():
+    if backend in ("numpy", "native") or (backend is None and not _use_device()):
         return _encode_slab_numpy(symbols, codebook, nblocks, B)
     return _encode_slab_jax(symbols, codebook, nblocks, B)
 
@@ -205,13 +205,25 @@ def compress(
     Pass None to disable."""
     symbols, is_odd, last_byte = bytes_to_symbols(data)
     n_pairs = symbols.size
-    B = block_symbols
+    # The TPU decoder emits packed 16-bit symbol pairs, so blocks must hold
+    # an even symbol count; round odd requests up rather than writing a
+    # container the flagship path can't read.
+    B = block_symbols + (block_symbols & 1)
     nblocks = (n_pairs + B - 1) // B
 
+    if codebook is None and not embed_codebook:
+        raise ValueError("embed_codebook=False requires an explicit codebook")
     if codebook is None:
         freqs = histogram_host(symbols)
         codebook = Codebook.from_frequencies(freqs)
-        if max_code_len is not None and codebook.max_len > max_code_len:
+        # The device package-merge is int32 with a 2^30 sentinel: only
+        # rebuild with it when counts stay clear of saturation; otherwise
+        # keep the (deeper) exact host codebook.
+        if (
+            max_code_len is not None
+            and codebook.max_len > max_code_len
+            and n_pairs < (1 << 30)
+        ):
             from ..ops.device_codebook import device_code_lengths
 
             lengths = np.asarray(
@@ -220,10 +232,6 @@ def compress(
                 )
             ).astype(np.uint8)
             codebook = Codebook.from_lengths(lengths)
-    elif not embed_codebook:
-        pass  # caller stores the codebook externally (sharded archives)
-    if codebook is None and not embed_codebook:
-        raise ValueError("embed_codebook=False requires an explicit codebook")
 
     if mode == "interleaved":
         out = _compress_v2(
@@ -427,7 +435,7 @@ def decompress(
 
 def _decode_v1(c: ParsedContainer, backend) -> np.ndarray:
     slab = c.slab()
-    if backend == "numpy" or (backend is None and not _use_device()):
+    if backend in ("numpy", "native") or (backend is None and not _use_device()):
         out = np.zeros((c.num_blocks, c.block_symbols), dtype=np.uint16)
         total = (c.original_size - (1 if c.is_odd else 0)) // 2
         for b in range(c.num_blocks):
@@ -452,7 +460,7 @@ def _decode_v2(c: ParsedContainer, backend) -> np.ndarray:
     from ..ops.pallas_decode import GROUP_LANES, build_symtab
 
     B = c.block_symbols
-    if backend == "numpy" or (backend is None and not _use_device()):
+    if backend in ("numpy", "native") or (backend is None and not _use_device()):
         outs = []
         for g, s in enumerate(c.streams):
             n_real = max(0, min(GROUP_LANES, c.num_blocks - g * GROUP_LANES))
@@ -465,11 +473,21 @@ def _decode_v2(c: ParsedContainer, backend) -> np.ndarray:
 
     from ..ops import pallas_decode as pd
 
+    from ..ops.pallas_decode import DEFAULT_MULTI
+
     cb = c.codebook
     stacked, _ = il.pad_streams(list(c.streams))
     rows_per = stacked.shape[0] // c.ngroups
+    # Pad the group count to the kernel's multi-chain width on the host —
+    # decode_groups would otherwise copy the whole device-resident payload
+    # inside jit just to append empty groups.
+    ngroups_p = -(-c.ngroups // DEFAULT_MULTI) * DEFAULT_MULTI
+    if ngroups_p != c.ngroups:
+        stacked = np.vstack(
+            [stacked, np.zeros(((ngroups_p - c.ngroups) * rows_per, 128), stacked.dtype)]
+        )
     symtab, sym_rows, translate = build_symtab(cb.sym_order)
-    meta = np.zeros((c.ngroups, 4), dtype=np.int32)
+    meta = np.zeros((ngroups_p, 4), dtype=np.int32)
     for g in range(c.ngroups):
         meta[g, 0] = max(0, min(GROUP_LANES, c.num_blocks - g * GROUP_LANES))
 
@@ -491,8 +509,13 @@ def _decode_v2(c: ParsedContainer, backend) -> np.ndarray:
         # exercises the kernel through the interpreter.
         interpret=not _use_device(),
     )
-    # (g*B+t, s, l) -> block-major (g, s, l, t)
-    arr = out.reshape(c.ngroups, B, 8, 128).transpose(0, 2, 3, 1).reshape(-1)
+    # (g*B+t, s, l) -> block-major (g, s, l, t); drop pad groups
+    arr = (
+        np.asarray(out)
+        .reshape(ngroups_p, B, 8, 128)[: c.ngroups]
+        .transpose(0, 2, 3, 1)
+        .reshape(-1)
+    )
     syms = np.asarray(arr)
     if not translate and cb.n_unique:
         syms = cb.sym_order.astype(np.int64)[np.clip(syms, 0, cb.n_unique - 1)]

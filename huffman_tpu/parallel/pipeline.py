@@ -45,13 +45,21 @@ def data_mesh(devices=None, axis: str = "dp") -> Mesh:
     return Mesh(devices, (axis,))
 
 
+@functools.partial(jax.jit, static_argnames=("mesh", "axis"))
+def _distributed_histogram_jit(mesh: Mesh, symbols: jax.Array, axis: str) -> jax.Array:
+    def local(sym):
+        return jax.lax.psum(hist.histogram_scatter(sym), axis)
+
+    fn = shard_map(local, mesh=mesh, in_specs=P(axis), out_specs=P())
+    return fn(symbols)
+
+
 def distributed_histogram(mesh: Mesh, symbols: jax.Array, axis: str = "dp") -> jax.Array:
     """All-reduced dense histogram of a block-sharded symbol array.
 
     ``symbols`` is (nshards*chunk,) int32, sharded on its leading axis; the
     result is the full-corpus histogram, replicated on every device.
     """
-
     n = mesh.shape[axis]
     pad = (-symbols.shape[0]) % n
     if pad:
@@ -59,12 +67,7 @@ def distributed_histogram(mesh: Mesh, symbols: jax.Array, axis: str = "dp") -> j
         symbols = jnp.concatenate(
             [symbols, jnp.full(pad, MAX_SYMBOLS, symbols.dtype)]
         )
-
-    def local(sym):
-        return jax.lax.psum(hist.histogram_scatter(sym), axis)
-
-    fn = shard_map(local, mesh=mesh, in_specs=P(axis), out_specs=P())
-    return jax.jit(fn)(symbols)
+    return _distributed_histogram_jit(mesh, symbols, axis)
 
 
 @functools.partial(

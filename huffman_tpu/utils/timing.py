@@ -64,6 +64,48 @@ def _block(x):
     jax.tree.map(sync, x)
 
 
+def amortized_time_fn(fn, arg, iters: int = 20, reps: int = 3) -> float:
+    """Median seconds per call of ``fn(arg)``, measured by chaining
+    ``iters`` invocations inside ONE jit program.
+
+    Each iteration xors a live checksum of the previous output into the
+    input's first element, a semantics-light but real data dependency: XLA
+    can neither hoist the op out of the loop nor dead-code it (a checksum
+    it can fold — e.g. ``x * 0`` — silently removes the op under test).
+    This amortizes fixed dispatch overhead (~50 ms through the axon tunnel
+    here) that per-call timing cannot separate from the kernel.
+
+    ``arg`` must be an integer-dtype array; ``fn`` any jit-compatible
+    callable of it.
+    """
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def many(a):
+        def body(i, carry):
+            a, chk = carry
+            flat = a.reshape(-1)
+            a = flat.at[0].set(flat[0] ^ (chk & 1).astype(flat.dtype)).reshape(a.shape)
+            out = fn(a)
+            first = jax.tree.leaves(out)[0]
+            return a, chk ^ first.reshape(-1)[0].astype(jnp.int32)
+
+        _, chk = jax.lax.fori_loop(0, iters, body, (a, jnp.int32(0)))
+        return chk
+
+    many(arg).block_until_ready()  # compile + warm
+    times = []
+    for _ in range(reps):
+        t0 = _time.perf_counter()
+        many(arg).block_until_ready()
+        times.append((_time.perf_counter() - t0) / iters)
+    times.sort()
+    return times[len(times) // 2]
+
+
 def time_fn(fn, *args, iters: int = 5, warmup: int = 2) -> float:
     """Median steady-state seconds per call; blocks on all outputs."""
     for _ in range(warmup):

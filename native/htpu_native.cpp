@@ -418,6 +418,11 @@ HTPU_API int64_t htpu_ref_original_size(const uint8_t* blob, int64_t blob_len) {
   if (!r.ok(64)) return HTPU_E_TRUNCATED;
   int64_t file_size = 0;
   for (int i = 0; i < 8; ++i) file_size |= (int64_t)r.read(8) << (8 * i);
+  // Sanity vs the payload actually present: each pair consumes >= 1 bit,
+  // so a hostile/corrupt size field can't demand more than 2 bytes per
+  // remaining payload bit (prevents giant caller allocations).
+  if (file_size < 0 || file_size / 2 > (blob_len * 8 - r.pos) + 8)
+    return HTPU_E_TRUNCATED;
   return file_size;
 }
 
@@ -458,6 +463,8 @@ HTPU_API int htpu_ref_decompress(const uint8_t* blob, int64_t blob_len,
   int64_t file_size = 0;
   for (int i = 0; i < 8; ++i) file_size |= (int64_t)r.read(8) << (8 * i);
   int64_t n_pairs = file_size / 2;
+  if (file_size < 0 || n_pairs > (blob_len * 8 - r.pos) + 8)
+    return HTPU_E_TRUNCATED;  // each pair consumes >= 1 payload bit
   if (file_size > out_cap) return HTPU_E_OVERFLOW;
 
   // Sort codewords by left-justified value; in a prefix-free code the
@@ -493,8 +500,13 @@ HTPU_API int htpu_ref_decompress(const uint8_t* blob, int64_t blob_len,
   std::memcpy(padded.data(), blob, (size_t)blob_len);
   const uint8_t* src = padded.data();
 
+  // In-loop cursor bound: decoding must never walk past the final byte
+  // (+7 bits of left-aligned flush slack). Bounds also keep peek64 inside
+  // the 16-byte padding: pos < blob_len*8+8 => (pos>>3)+9 <= blob_len+10.
+  const int64_t pos_limit = blob_len * 8 + 8;
   int64_t pos = payload_pos;
   for (int64_t i = 0; i < n_pairs; ++i) {
+    if (pos >= pos_limit) return HTPU_E_TRUNCATED;
     uint64_t peek = peek64(src, pos);
     int32_t lo = root[peek >> 48];
     int32_t hi = root[(peek >> 48) + 1];

@@ -16,32 +16,9 @@ sys.path.insert(0, ".")
 
 
 def _time_amortized(jax, jnp, fn, arg, iters):
-    """K chained invocations inside one jit (bench.py methodology)."""
+    from huffman_tpu.utils.timing import amortized_time_fn
 
-    @jax.jit
-    def many(a):
-        def body(i, carry):
-            a, chk = carry
-            # Feed chk into the input (xor of a live lane) so iterations
-            # are data-dependent — a multiply-by-zero checksum lets XLA
-            # dead-code the whole op under test.
-            flat = a.reshape(-1)
-            a = flat.at[0].set(flat[0] ^ (chk & 1).astype(flat.dtype)).reshape(a.shape)
-            out = fn(a)
-            first = jax.tree.leaves(out)[0]
-            chk = chk ^ first.reshape(-1)[0].astype(jnp.int32)
-            return a, chk
-
-        _, chk = jax.lax.fori_loop(0, iters, body, (a, jnp.int32(0)))
-        return chk
-
-    many(arg).block_until_ready()
-    reps = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        many(arg).block_until_ready()
-        reps.append((time.perf_counter() - t0) / iters)
-    return sorted(reps)[1]
+    return amortized_time_fn(fn, arg, iters=iters)
 
 
 def main():

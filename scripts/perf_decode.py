@@ -91,27 +91,9 @@ def main():
             dec = cb.sym_order.astype(np.int64)[np.clip(dec, 0, cb.n_unique - 1)]
         assert np.array_equal(dec, symbols), "decode mismatch"
 
-    ITERS = 20
+    from huffman_tpu.utils.timing import amortized_time_fn
 
-    @jax.jit
-    def many(s):
-        def body(i, carry):
-            s, chk = carry
-            s = s.at[-1, -1].set(chk)
-            out = decode_fn(s)
-            chk = jnp.bitwise_xor(chk, out[0, 0, 0].astype(jnp.uint32) & jnp.uint32(1))
-            return s, chk
-
-        _, chk = jax.lax.fori_loop(0, ITERS, body, (s, jnp.uint32(0)))
-        return chk
-
-    many(s_dev).block_until_ready()  # compile+warm
-    reps = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        many(s_dev).block_until_ready()
-        reps.append((time.perf_counter() - t0) / ITERS)
-    sec = sorted(reps)[1]
+    sec = amortized_time_fn(decode_fn, s_dev, iters=20)
     print(
         f"decode: {sec*1e3:.3f} ms/iter  {n_pairs*2/sec/1e9:.2f} GB/s  "
         f"({sec/ (ngroups*B) *1e9*multi:.0f} ns/step, translate={translate}, "

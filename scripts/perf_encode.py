@@ -16,26 +16,9 @@ sys.path.insert(0, ".")
 
 
 def timed(jax, jnp, fn, arg, iters=5):
-    @jax.jit
-    def many(a):
-        def body(i, carry):
-            a, chk = carry
-            flat = a.reshape(-1)
-            a = flat.at[0].set(flat[0] ^ (chk & 1).astype(flat.dtype)).reshape(a.shape)
-            out = fn(a)
-            first = jax.tree.leaves(out)[0]
-            return a, chk ^ first.reshape(-1)[0].astype(jnp.int32)
+    from huffman_tpu.utils.timing import amortized_time_fn
 
-        _, chk = jax.lax.fori_loop(0, iters, body, (a, jnp.int32(0)))
-        return chk
-
-    many(arg).block_until_ready()
-    reps = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        many(arg).block_until_ready()
-        reps.append((time.perf_counter() - t0) / iters)
-    return sorted(reps)[1]
+    return amortized_time_fn(fn, arg, iters=iters)
 
 
 def main():
