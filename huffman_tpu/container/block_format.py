@@ -168,6 +168,7 @@ def _encode_slab_jax(symbols, codebook, nblocks, B):
     import jax.numpy as jnp
 
     from ..ops import encode as enc
+    from ..ops.pallas_decode import GROUP_LANES
     from ..ops.tables import device_tables
 
     t = device_tables(codebook)
@@ -181,7 +182,13 @@ def _encode_slab_jax(symbols, codebook, nblocks, B):
     offsets, block_bits = enc.block_offsets(lens)
     block_bits_np = np.asarray(block_bits).astype(np.int64)
     W = _bucket_words(int((block_bits_np.max(initial=1) + 31) // 32))
-    slab = enc.pack_blocks(codes, lens, offsets, W)
+    if nblocks % GROUP_LANES == 0:
+        # Pallas lane packer: ~2x the XLA scatter formulation on TPU.
+        from ..ops.pallas_encode import pack_blocks_pallas
+
+        slab = pack_blocks_pallas(codes, lens, W, interpret=not _use_device())
+    else:
+        slab = enc.pack_blocks(codes, lens, offsets, W)
     return np.asarray(slab), block_bits_np, np.asarray(lens)
 
 

@@ -41,7 +41,13 @@ def build_streams_device(
     """Returns (streams (ngroups, 2*1024 + words_cap) uint32, counts
     (ngroups,) int32 of meaningful words incl. preload). Stream g's first
     ``counts[g]`` words equal container/interleave.build_interleaved_streams
-    output for that group."""
+    output for that group.
+
+    ``words_cap`` must bound EVERY group's body words (counts[g] - 2048),
+    not the average — positions past a group's cap spill into the next
+    group's region. B * GROUP_LANES is always safe; callers with a host
+    view of eff_lens can use ``(eff.sum per group) >> 5`` exactly. The
+    returned counts let callers verify the cap after the fact."""
     n_lanes, W = slab.shape
     B = eff_lens.shape[1]
     ngroups = n_lanes // GROUP_LANES
@@ -76,9 +82,11 @@ def build_streams_device(
         .reshape(ngroups, B * GROUP_LANES)
     )
     goff = jnp.arange(ngroups, dtype=jnp.int32)[:, None] * words_cap
-    flat_pos = jnp.where(
-        ind_g > 0, pos + goff, jnp.int32(ngroups * words_cap)
-    )  # non-refills route past the end and drop
+    # Non-refill slots carry value 0 (word is masked above) at their
+    # exclusive-cumsum position, which is monotone — indices_are_sorted
+    # requires a monotone index stream; an end-of-buffer sentinel between
+    # real indices corrupts the scatter on real TPUs.
+    flat_pos = pos + goff
     body = jnp.zeros(ngroups * words_cap, dtype=slab.dtype)
     body = body.at[flat_pos.reshape(-1)].add(
         word_g.reshape(-1), mode="drop", indices_are_sorted=True

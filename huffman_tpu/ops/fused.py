@@ -21,7 +21,7 @@ from ..constants import MAX_CODE_LEN, MAX_SYMBOLS
 from . import encode as enc
 from .device_codebook import device_canonical_tables, device_code_lengths
 from .device_interleave import build_streams_device
-from .histogram import histogram_scatter
+from .histogram import histogram_matmul
 from .pallas_decode import GROUP_LANES, PRELOAD_WORDS, WINDOW_ROWS
 
 
@@ -53,7 +53,13 @@ def encode_device(
     idx = jnp.arange(n_total, dtype=jnp.int32)
     valid = idx < n_pairs
 
-    hist = histogram_scatter(jnp.where(valid, symbols, MAX_SYMBOLS))
+    # MXU histogram: the scatter-add formulation runs at XLA-scatter speed
+    # (~0.1 Gelem/s here); the one-hot outer-product accumulation doesn't.
+    # Padding symbols route to bin 0 and are subtracted by the helper, so
+    # mask them to symbol 0 and subtract the pad count from bin 0.
+    n_pad = jnp.sum(~valid)
+    hist = histogram_matmul(jnp.where(valid, symbols, 0))
+    hist = hist.at[0].add(-n_pad)
     lengths = device_code_lengths(hist, max_len=max_len)
     enc_codes, enc_lens, lj_limit, base, sym_rank = device_canonical_tables(lengths)
 
