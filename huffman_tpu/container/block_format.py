@@ -178,7 +178,10 @@ def _encode_slab_jax(symbols, codebook, nblocks, B):
     valid = (
         jnp.arange(nblocks * B, dtype=jnp.int32).reshape(nblocks, B) < symbols.size
     )
-    codes, lens = enc.gather_codes(sym_dev, t.enc_codes, t.enc_lens, valid)
+    if t.enc_packed is not None:
+        codes, lens = enc.gather_codes_packed(sym_dev, t.enc_packed, valid)
+    else:
+        codes, lens = enc.gather_codes(sym_dev, t.enc_codes, t.enc_lens, valid)
     offsets, block_bits = enc.block_offsets(lens)
     block_bits_np = np.asarray(block_bits).astype(np.int64)
     W = _bucket_words(int((block_bits_np.max(initial=1) + 31) // 32))

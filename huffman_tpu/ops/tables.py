@@ -23,6 +23,8 @@ class DeviceTables(NamedTuple):
     base: jnp.ndarray       # (MAX_CODE_LEN + 1,) uint32, wrapped mod 2^32
     sym_order: jnp.ndarray  # (n_unique_padded,) int32 canonical symbol order
     max_len: int            # static python int
+    enc_packed: jnp.ndarray | None  # (MAX_SYMBOLS,) uint32 len<<26|code,
+                                    # None when max_len > 26
 
 
 def device_tables(cb: Codebook, pad_sym_order_to: int | None = None) -> DeviceTables:
@@ -39,7 +41,13 @@ def device_tables(cb: Codebook, pad_sym_order_to: int | None = None) -> DeviceTa
         raise ValueError("pad_sym_order_to smaller than the codebook")
     sym_order = np.zeros(pad, dtype=np.int32)
     sym_order[:n] = cb.sym_order
+    packed = None
+    if cb.max_len <= 26:
+        packed = jnp.asarray(
+            (cb.lengths.astype(np.uint32) << 26) | cb.codes.astype(np.uint32)
+        )
     return DeviceTables(
+        enc_packed=packed,
         enc_codes=jnp.asarray(cb.codes, dtype=jnp.uint32),
         enc_lens=jnp.asarray(cb.lengths.astype(np.int32)),
         lj_limit=jnp.asarray(cb.lj_limit, dtype=jnp.uint32),

@@ -96,11 +96,11 @@ def amortized_time_fn(fn, arg, iters: int = 20, reps: int = 3) -> float:
         _, chk = jax.lax.fori_loop(0, iters, body, (a, jnp.int32(0)))
         return chk
 
-    many(arg).block_until_ready()  # compile + warm
+    _block(many(arg))  # compile + warm (host fetch: see _block's caveat)
     times = []
     for _ in range(reps):
         t0 = _time.perf_counter()
-        many(arg).block_until_ready()
+        _block(many(arg))
         times.append((_time.perf_counter() - t0) / iters)
     times.sort()
     return times[len(times) // 2]
