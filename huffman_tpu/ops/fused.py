@@ -26,7 +26,8 @@ from .pallas_decode import GROUP_LANES, PRELOAD_WORDS, WINDOW_ROWS
 
 
 @functools.partial(
-    jax.jit, static_argnames=("B", "words_per_block", "words_cap", "max_len")
+    jax.jit,
+    static_argnames=("B", "words_per_block", "words_cap", "max_len", "interpret"),
 )
 def encode_device(
     symbols: jax.Array,   # (n_lanes * B,) int32, zero-padded past n_pairs
@@ -35,6 +36,7 @@ def encode_device(
     words_per_block: int | None = None,
     words_cap: int | None = None,
     max_len: int = MAX_CODE_LEN,
+    interpret: bool = False,  # Pallas interpret mode (CPU tests)
 ):
     """Fused encode. Returns a dict with the interleaved payload
     (``streams`` (ngroups, 2*1024+cap) u32 + ``counts``), the dense code
@@ -65,9 +67,19 @@ def encode_device(
 
     sym2 = symbols.reshape(n_lanes, B)
     val2 = valid.reshape(n_lanes, B)
-    codes, lens = enc.gather_codes(sym2, enc_codes, enc_lens, val2)
+    if max_len <= 26:
+        # One gather instead of two (len << 26 | code), packed on device.
+        enc_packed = (enc_lens.astype(jnp.uint32) << 26) | enc_codes
+        codes, lens = enc.gather_codes_packed(sym2, enc_packed, val2)
+    else:
+        codes, lens = enc.gather_codes(sym2, enc_codes, enc_lens, val2)
     offsets, bits = enc.block_offsets(lens)
-    slab = enc.pack_blocks(codes, lens, offsets, W)
+    if n_lanes % GROUP_LANES == 0:
+        from .pallas_encode import pack_blocks_pallas
+
+        slab = pack_blocks_pallas(codes, lens, W, interpret=interpret)
+    else:
+        slab = enc.pack_blocks(codes, lens, offsets, W)
 
     min_len = jnp.min(jnp.where(lengths > 0, lengths, MAX_CODE_LEN + 1))
     min_len = jnp.minimum(min_len, MAX_CODE_LEN)  # empty alphabet guard
@@ -98,14 +110,14 @@ def streams_to_kernel_layout(streams: jax.Array, rows_bucket: int = 64):
     return padded.reshape(ngroups * rows, 128), rows
 
 
-@functools.partial(jax.jit, static_argnames=("B", "max_len"))
+@functools.partial(jax.jit, static_argnames=("B", "max_len", "interpret"))
 def roundtrip_device(symbols: jax.Array, n_pairs: jax.Array, B: int,
-                     max_len: int = MAX_CODE_LEN):
+                     max_len: int = MAX_CODE_LEN, interpret: bool = False):
     """Encode on device, decode on device (XLA lane decoder — works on any
     backend, unlike Mosaic), compare. Returns (ok, payload_words)."""
     from . import decode as dec
 
-    r = encode_device(symbols, n_pairs, B, max_len=max_len)
+    r = encode_device(symbols, n_pairs, B, max_len=max_len, interpret=interpret)
     n_total = symbols.shape[0]
     n_lanes = n_total // B
 

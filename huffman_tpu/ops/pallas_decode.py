@@ -56,7 +56,9 @@ SUBLANES = 8                    # sublane rows per decode chain; the group
 GROUP_LANES = SUBLANES * LANES  # streams per decode chain
 PRELOAD_WORDS = 2               # words 0,1 of every lane head the stream
 WINDOW_ROWS = SUBLANES + 1      # refill window: max slot 127 + GROUP_LANES
-GATHER_MAX_ALPHABET = 4096      # in-kernel rank->symbol translation limit
+GATHER_MAX_ALPHABET = 8192      # in-kernel rank->symbol translation limit
+                                # (32 packed table rows; larger alphabets
+                                # emit ranks for the caller to translate)
 REFILL_THRESHOLD = 33           # refill when valid bits drop below this
 DEFAULT_MULTI = 2               # independent groups interleaved per kernel
                                 # instance: the per-chain step is a serial

@@ -39,7 +39,7 @@ def test_device_roundtrip(seed, npairs, nalpha):
     n_lanes = (n_real + GROUP_LANES - 1) // GROUP_LANES * GROUP_LANES
     padded = np.zeros(n_lanes * B, np.int32)
     padded[:npairs] = symbols
-    ok, words = roundtrip_device(padded, np.int32(npairs), B)
+    ok, words = roundtrip_device(padded, np.int32(npairs), B, interpret=True)
     assert bool(ok)
     assert int(words) > 0
 
@@ -53,7 +53,7 @@ def test_fused_streams_match_host_pipeline():
     padded = np.zeros(n_lanes * B, np.int32)
     padded[:npairs] = symbols
 
-    r = encode_device(padded, np.int32(npairs), B)
+    r = encode_device(padded, np.int32(npairs), B, interpret=True)
     dev_lengths = np.asarray(r["lengths"])
 
     # Host pipeline seeded with the device codebook's lengths must produce
