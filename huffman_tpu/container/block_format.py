@@ -355,6 +355,16 @@ class ParsedContainer:
             self.codebook = None
             self.payload = blob[_HEADER_BYTES:]
             return
+        # Structural sanity before any size-driven allocation (a corrupt
+        # count field must raise, not MemoryError).
+        if self.block_symbols == 0 or self.block_symbols > (1 << 24):
+            raise ValueError("corrupt container: bad block_symbols")
+        n_pairs = (self.original_size - (1 if self.is_odd else 0)) // 2
+        expect_blocks = (n_pairs + self.block_symbols - 1) // self.block_symbols
+        if self.num_blocks != expect_blocks:
+            raise ValueError("corrupt container: block count mismatch")
+        if self.n_unique > MAX_SYMBOLS:
+            raise ValueError("corrupt container: bad unique count")
         if self.external_codebook:
             if codebook is None:
                 raise ValueError(
@@ -366,17 +376,37 @@ class ParsedContainer:
 
         if self.version == 1:
             self.block_bits = np.frombuffer(
-                blob[off : off + 4 * self.num_blocks], dtype="<u4"
+                blob[off : off + 4 * self.num_blocks][
+                    : (len(blob) - off) & ~3
+                ], dtype="<u4"
             ).astype(np.int64)
             off += 4 * self.num_blocks
+            if self.block_bits.size != self.num_blocks:
+                raise ValueError("truncated container: block bit table")
+            if self.num_blocks and self.block_bits.size and (
+                self.block_bits.max() > 32 * self.block_symbols
+            ):
+                raise ValueError("corrupt container: block bits exceed block size")
             self.payload = blob[off:]
         else:
             self.ngroups = int.from_bytes(blob[off : off + 4], "little")
             off += 4
+            from ..ops.pallas_decode import GROUP_LANES as _GL
+
+            if self.ngroups != (self.num_blocks + _GL - 1) // _GL:
+                raise ValueError("corrupt container: group count mismatch")
             self.group_words = np.frombuffer(
-                blob[off : off + 4 * self.ngroups], dtype="<u4"
+                blob[off : off + 4 * self.ngroups][
+                    : (len(blob) - off) & ~3
+                ], dtype="<u4"
             ).astype(np.int64)
             off += 4 * self.ngroups
+            if self.group_words.size != self.ngroups:
+                raise ValueError("truncated container: group table")
+            if self.ngroups and self.group_words.size and (
+                self.group_words.max() > (len(blob) + 3) // 4
+            ):
+                raise ValueError("corrupt container: group words exceed payload")
             total = int(self.group_words.sum())
             raw = blob[off : off + 4 * total]
             if len(raw) != 4 * total:

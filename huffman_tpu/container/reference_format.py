@@ -160,7 +160,7 @@ def _pack_stream_device(symbols, codebook: Codebook, start_bit: int):
 class ReferenceHeader:
     symbols: np.ndarray      # (n,) uint16 in table order
     lengths: np.ndarray      # (n,) int64
-    codes: np.ndarray        # (n,) uint32
+    codes: np.ndarray        # (n,) uint64 (the format allows up to 64 bits)
     file_size: int
     is_odd: bool
     last_byte: int
@@ -180,7 +180,7 @@ def parse_header(blob: bytes) -> ReferenceHeader:
     reader = BitReader(blob, pos * 8)
     syms = np.empty(count, dtype=np.uint16)
     lens = np.empty(count, dtype=np.int64)
-    codes = np.empty(count, dtype=np.uint32)
+    codes = np.empty(count, dtype=np.uint64)
     for i in range(count):
         syms[i] = reader.read(16)
         length = reader.read(8)
@@ -216,6 +216,12 @@ def decode_payload_host(header: ReferenceHeader, blob: bytes) -> np.ndarray:
     block decoder are the production paths.
     """
     n_pairs = header.file_size // 2
+    if header.lengths.size and header.lengths.max() > 32:
+        # The format permits up to 64-bit codes; this pure-Python fallback
+        # left-justifies in 32 bits. The native C++ decoder handles 33-64.
+        raise ValueError(
+            "code length > 32: use the native runtime decoder for this blob"
+        )
     lj = (header.codes.astype(np.uint64) << (32 - header.lengths.astype(np.uint64))) & np.uint64(
         0xFFFFFFFF
     )

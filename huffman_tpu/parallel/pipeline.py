@@ -130,6 +130,58 @@ def distributed_decode(
     return fn(slab, lj_limit, base, sym_order, max_len.reshape(1))
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "axis", "n_steps", "stream_rows", "sym_rows",
+        "max_len", "translate", "min_len", "multi", "interpret",
+    ),
+)
+def distributed_decode_groups(
+    mesh: Mesh,
+    streams: jax.Array,   # (ngroups*stream_rows, 128) u32, groups sharded
+    lj_limit: jax.Array,
+    base: jax.Array,
+    symtab: jax.Array,
+    meta: jax.Array,      # (ngroups, 4) i32, sharded like streams
+    n_steps: int,
+    stream_rows: int,
+    sym_rows: int,
+    max_len: int,
+    translate: bool = True,
+    min_len: int = 1,
+    multi: int | None = None,
+    interpret: bool = False,
+    axis: str = "dp",
+):
+    """The flagship Pallas group decoder sharded data-parallel over a mesh:
+    each device decodes its group shard independently (groups are the DP
+    unit — no collectives in the payload path). ngroups must divide by the
+    mesh size; per-device group counts should divide `multi` to avoid the
+    padding fallback."""
+    from ..ops import pallas_decode as pd
+
+    kw = dict(
+        n_steps=n_steps, stream_rows=stream_rows, sym_rows=sym_rows,
+        max_len=max_len, translate=translate, min_len=min_len,
+        interpret=interpret,
+    )
+    if multi is not None:
+        kw["multi"] = multi
+
+    def local(s, lj, b, st, m):
+        return pd.decode_groups(s, lj, b, st, m, **kw)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(), P(), P(), P(axis, None)),
+        out_specs=P(axis, None, None),
+        check_vma=False,
+    )
+    return fn(streams, lj_limit, base, symtab, meta)
+
+
 def compress_decompress_step(mesh: Mesh, axis: str = "dp"):
     """The framework's full distributed step (the analog of a framework's
     'training step' for the graft dry run): histogram with psum, encode

@@ -81,3 +81,50 @@ def test_distributed_encode_decode(mesh):
     )
     got = np.asarray(out).reshape(-1)[:n_pairs]
     np.testing.assert_array_equal(got, symbols)
+
+
+def test_distributed_pallas_decode_groups():
+    """The flagship group decoder sharded over the 8-device mesh: per-device
+    shards must reproduce the single-device decode bit for bit."""
+    import numpy as np
+    from huffman_tpu.codebook import Codebook
+    from huffman_tpu.constants import MAX_SYMBOLS
+    from huffman_tpu.container import block_format as bf
+    from huffman_tpu.container import interleave as il
+    from huffman_tpu.ops import pallas_decode as pd
+    from huffman_tpu.parallel import pipeline as pp
+
+    rng = np.random.default_rng(21)
+    B = 16
+    ngroups = 8
+    n_real = ngroups * pd.GROUP_LANES - 37
+    n_lanes = ngroups * pd.GROUP_LANES
+    n_pairs = n_real * B - 5
+    alpha = rng.choice(MAX_SYMBOLS, 120, replace=False)
+    symbols = rng.choice(alpha, n_pairs).astype(np.uint16)
+    cb = Codebook.from_frequencies(np.bincount(symbols, minlength=MAX_SYMBOLS))
+    slab, _, lens = bf._encode_slab_numpy(symbols, cb, n_lanes, B)
+    min_len = int(cb.lengths[cb.lengths > 0].min())
+    eff = il.effective_lengths(lens, n_pairs, min_len, n_lanes, B)
+    streams = il.build_streams(slab, eff, n_real)
+    stacked, _ = il.pad_streams(streams)
+    rows_per = stacked.shape[0] // ngroups
+    symtab, sym_rows, translate = pd.build_symtab(cb.sym_order)
+    meta = np.zeros((ngroups, 4), dtype=np.int32)
+    for g in range(ngroups):
+        meta[g, 0] = max(0, min(pd.GROUP_LANES, n_real - g * pd.GROUP_LANES))
+
+    args = (
+        jnp.asarray(stacked), jnp.asarray(cb.lj_limit),
+        jnp.asarray((cb.base & 0xFFFFFFFF).astype(np.uint32)),
+        jnp.asarray(symtab), jnp.asarray(meta),
+    )
+    kw = dict(
+        n_steps=B, stream_rows=rows_per, sym_rows=sym_rows,
+        max_len=max(cb.max_len, 1), translate=translate, min_len=min_len,
+        interpret=True, multi=1,
+    )
+    single = np.asarray(pd.decode_groups(*args, **kw))
+    mesh = pp.data_mesh()
+    shard = np.asarray(pp.distributed_decode_groups(mesh, *args, **kw))
+    np.testing.assert_array_equal(single, shard)

@@ -127,3 +127,46 @@ def test_native_hostile_file_size_field():
     hdr_only = bytes(blob[: len(blob) - max(1, len(blob) // 3)])
     with pytest.raises(native.NativeError):
         native.decompress_reference(hdr_only)
+
+
+def test_mutation_fuzz_native_container():
+    """500 single-byte mutations of a valid container: every outcome must
+    be a clean ValueError or a correct roundtrip (flips in dead words) —
+    never silent corruption, MemoryError, or a crash."""
+    rng = np.random.default_rng(12)
+    data = b"fuzz me gently " * 500
+    blob = bytearray(bf.compress(data, backend="numpy"))
+    wrong = 0
+    for _ in range(500):
+        b2 = bytearray(blob)
+        pos = int(rng.integers(0, len(b2)))
+        b2[pos] ^= int(rng.integers(1, 256))
+        try:
+            out = bf.decompress(bytes(b2), backend="numpy")
+            if out != data:
+                wrong += 1
+        except ValueError:
+            pass
+    assert wrong == 0
+
+
+def test_random_blob_fuzz():
+    rng = np.random.default_rng(13)
+    from huffman_tpu.container import sharded
+
+    for _ in range(300):
+        blob = rng.integers(0, 256, int(rng.integers(0, 128)), dtype=np.uint8).tobytes()
+        for dec, excs in (
+            (lambda b: bf.decompress(b, backend="numpy"), (ValueError, EOFError)),
+            (lambda b: sharded.decompress(b, backend="numpy"), (ValueError, EOFError)),
+            (rf.decompress, (ValueError, EOFError, IndexError)),
+        ):
+            try:
+                dec(blob)
+            except excs:
+                pass
+        if native.available():
+            try:
+                native.decompress_reference(blob)
+            except native.NativeError:
+                pass
