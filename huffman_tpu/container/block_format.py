@@ -130,6 +130,13 @@ def _use_device() -> bool:
         return False
 
 
+# Below this many symbols the host runtime wins even against a warm device
+# (one group or less of lanes; and a cold process pays tens of seconds of
+# XLA/Mosaic compilation that a 100 KB file never amortizes). backend="jax"
+# forces the device path regardless.
+DEVICE_MIN_PAIRS = 1 << 21
+
+
 # --------------------------------------------------------------------------
 # shared encode front half: per-lane packed slabs
 # --------------------------------------------------------------------------
@@ -137,7 +144,10 @@ def _use_device() -> bool:
 def _encode_slab(symbols, codebook, nblocks, B, backend):
     """Pack every block's codewords into an (nblocks, W) word slab plus
     per-block bit counts and the per-position length table."""
-    if backend in ("numpy", "native") or (backend is None and not _use_device()):
+    if backend in ("numpy", "native") or (
+        backend is None
+        and (not _use_device() or symbols.size < DEVICE_MIN_PAIRS)
+    ):
         return _encode_slab_numpy(symbols, codebook, nblocks, B)
     return _encode_slab_jax(symbols, codebook, nblocks, B)
 
@@ -473,9 +483,15 @@ def decompress(
     return data
 
 
+def _small(c: ParsedContainer) -> bool:
+    return c.original_size // 2 < DEVICE_MIN_PAIRS
+
+
 def _decode_v1(c: ParsedContainer, backend) -> np.ndarray:
     slab = c.slab()
-    if backend in ("numpy", "native") or (backend is None and not _use_device()):
+    if backend in ("numpy", "native") or (
+        backend is None and (not _use_device() or _small(c))
+    ):
         out = np.zeros((c.num_blocks, c.block_symbols), dtype=np.uint16)
         total = (c.original_size - (1 if c.is_odd else 0)) // 2
         for b in range(c.num_blocks):
@@ -500,7 +516,9 @@ def _decode_v2(c: ParsedContainer, backend) -> np.ndarray:
     from ..ops.pallas_decode import GROUP_LANES, build_symtab
 
     B = c.block_symbols
-    if backend in ("numpy", "native") or (backend is None and not _use_device()):
+    if backend in ("numpy", "native") or (
+        backend is None and (not _use_device() or _small(c))
+    ):
         outs = []
         for g, s in enumerate(c.streams):
             n_real = max(0, min(GROUP_LANES, c.num_blocks - g * GROUP_LANES))
