@@ -130,6 +130,79 @@ def cmd_decompress(args) -> int:
     return 0
 
 
+def _detect(blob: bytes) -> str:
+    from .container.block_format import NATIVE_MAGIC
+    from .container.sharded import MAGIC as HTPX_MAGIC
+
+    if len(blob) >= 4:
+        magic = int.from_bytes(blob[0:4], "little")
+        if magic == NATIVE_MAGIC:
+            return "htpu"
+        if magic == HTPX_MAGIC:
+            return "htpx"
+    return "reference"
+
+
+def cmd_info(args) -> int:
+    blob = Path(args.file).read_bytes()
+    kind = _detect(blob)
+    if kind == "htpu":
+        from .container.block_format import ParsedContainer
+
+        try:
+            c = ParsedContainer(blob)
+        except ValueError as e:
+            if "externally" not in str(e):
+                raise
+            print("format: HTPU (external codebook shard)")
+            return 0
+        mode = (
+            "stored" if c.stored
+            else {1: "block slabs", 2: "interleaved groups"}[c.version]
+        )
+        print(f"format: HTPU v{c.version} ({mode})")
+        print(f"original size: {c.original_size}")
+        print(f"compressed size: {len(blob)} ({100*len(blob)/max(c.original_size,1):.2f}%)")
+        if not c.stored:
+            print(f"blocks: {c.num_blocks} x {c.block_symbols} symbols")
+            print(f"codebook: {c.n_unique} symbols, max code length {c.max_len}")
+        print(f"crc32: {c.crc32:08x}")
+    elif kind == "htpx":
+        n_shards = int.from_bytes(blob[8:12], "little")
+        original = int.from_bytes(blob[12:20], "little")
+        mode = "global codebook" if blob[5] == 1 else "per-shard codebooks"
+        print(f"format: HTPX sharded archive v{blob[4]} ({mode})")
+        print(f"original size: {original}")
+        print(f"compressed size: {len(blob)} ({100*len(blob)/max(original,1):.2f}%)")
+        print(f"shards: {n_shards}")
+    else:
+        from .container.reference_format import parse_header
+
+        h = parse_header(blob)
+        print("format: reference .compressed (single bitstream)")
+        print(f"original size: {h.file_size}")
+        print(f"compressed size: {len(blob)} ({100*len(blob)/max(h.file_size,1):.2f}%)")
+        print(f"codebook: {h.symbols.size} symbols, max code length {int(h.lengths.max(initial=0))}")
+    return 0
+
+
+def cmd_verify(args) -> int:
+    from . import api
+
+    blob = Path(args.file).read_bytes()
+    kind = _detect(blob)
+    t = _Timer(True)
+    if kind == "reference":
+        data = api.decompress_reference(blob, backend=args.backend)
+        note = "roundtrip decode ok (format has no integrity field)"
+    else:
+        data = api.decompress(blob, backend=args.backend)
+        note = "CRC32 verified"
+    t.stage("verify", len(data))
+    print(f"OK: {len(data)} bytes, {note}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="huffman_tpu",
@@ -183,6 +256,17 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("decompress", help="decompress a native .htpu container")
     common(sp)
     sp.set_defaults(fn=cmd_decompress)
+
+    sp = sub.add_parser("info", help="print container metadata")
+    sp.add_argument("file")
+    sp.set_defaults(fn=cmd_info)
+
+    sp = sub.add_parser(
+        "verify", help="decode in memory and check integrity (no output file)"
+    )
+    sp.add_argument("file")
+    sp.add_argument("--backend", choices=["native", "numpy", "jax"], default=None)
+    sp.set_defaults(fn=cmd_verify)
     return p
 
 

@@ -183,6 +183,11 @@ def _decode_kernel(
 
     def chain_step(j, t, carry):
         bufA, bufB, bits, head = carry
+        if "floor" in _ABLATE:
+            # absolute floor probe: loop + store + one add, nothing else
+            return pltpu.bitcast(bufA, jnp.int32), (
+                bufA + jnp.uint32(1), bufB, bits, head
+            )
         peek = bufA
 
         # No code is shorter than min_len, so boundaries below it are

@@ -63,3 +63,37 @@ def test_corrupt_container_error_code(tmp_path):
     bad = tmp_path / "bad.htpu"
     bad.write_bytes(b"not a container")
     assert cli.main(["decompress", str(bad)]) == 2
+
+
+def test_info_and_verify(sample, tmp_path, capsys):
+    src, data = sample
+    out = tmp_path / "x.htpu"
+    cli.main(["compress", str(src), "-o", str(out), "--backend", "numpy"])
+    assert cli.main(["info", str(out)]) == 0
+    cap = capsys.readouterr().out
+    assert "HTPU" in cap and "crc32" in cap
+    assert cli.main(["verify", str(out), "--backend", "numpy"]) == 0
+    assert "CRC32 verified" in capsys.readouterr().out
+
+    ref = tmp_path / "x.compressed"
+    cli.main(["archive", str(src), "-o", str(ref)])
+    assert cli.main(["info", str(ref)]) == 0
+    assert "reference" in capsys.readouterr().out
+    assert cli.main(["verify", str(ref)]) == 0
+
+    shx = tmp_path / "x.htpx"
+    cli.main(["compress", str(src), "-o", str(shx), "--shards", "3", "--backend", "numpy"])
+    assert cli.main(["info", str(shx)]) == 0
+    assert "HTPX" in capsys.readouterr().out
+    assert cli.main(["verify", str(shx), "--backend", "numpy"]) == 0
+
+
+def test_verify_corrupt_fails(sample, tmp_path):
+    src, data = sample
+    out = tmp_path / "x.htpu"
+    cli.main(["compress", str(src), "-o", str(out), "--backend", "numpy"])
+    blob = bytearray(out.read_bytes())
+    blob[45] ^= 0xFF
+    bad = tmp_path / "bad.htpu"
+    bad.write_bytes(bytes(blob))
+    assert cli.main(["verify", str(bad), "--backend", "numpy"]) == 2
