@@ -519,10 +519,20 @@ def _decode_v2(c: ParsedContainer, backend) -> np.ndarray:
     if backend in ("numpy", "native") or (
         backend is None and (not _use_device() or _small(c))
     ):
-        outs = []
-        for g, s in enumerate(c.streams):
+        def one(g_s):
+            g, s = g_s
             n_real = max(0, min(GROUP_LANES, c.num_blocks - g * GROUP_LANES))
-            outs.append(il.decode_interleaved(s, c.codebook, B, n_real))
+            return il.decode_interleaved(s, c.codebook, B, n_real)
+
+        if len(c.streams) > 1:
+            # Groups decode independently; the native decoder releases the
+            # GIL inside ctypes, so a thread pool scales on real hosts.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor() as ex:
+                outs = list(ex.map(one, enumerate(c.streams)))
+        else:
+            outs = [one((0, c.streams[0]))] if c.streams else []
         # (ngroups, B, GROUP_LANES) -> lane-major symbol order
         arr = np.stack(outs)  # (g, t, lane)
         return arr.transpose(0, 2, 1).reshape(-1)
