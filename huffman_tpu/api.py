@@ -64,12 +64,16 @@ def compress(
 
 
 def decompress(blob: bytes, backend: str | None = None, **kwargs) -> bytes:
-    """Decompress a native container (HTPU block or HTPX sharded archive —
-    detected by magic)."""
-    from .container import sharded
+    """Decompress a native container (HTPU block, HTPX sharded archive, or
+    HTPS stream — detected by magic)."""
+    from .container import sharded, streaming
 
-    if len(blob) >= 4 and int.from_bytes(blob[0:4], "little") == sharded.MAGIC:
-        return sharded.decompress(blob, backend=backend)
+    if len(blob) >= 4:
+        magic = int.from_bytes(blob[0:4], "little")
+        if magic == sharded.MAGIC:
+            return sharded.decompress(blob, backend=backend)
+        if magic == streaming.MAGIC:
+            return streaming.decompress_bytes(blob, backend=backend)
     from .container import block_format
 
     return block_format.decompress(blob, backend=backend, **kwargs)

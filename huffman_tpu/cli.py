@@ -95,6 +95,21 @@ def cmd_compress(args) -> int:
     from . import api
 
     src = Path(args.file)
+    out = Path(args.output) if args.output else src.with_name(src.name + ".htpu")
+    if args.stream_mb:
+        # Bounded-memory chunked path for inputs of any size.
+        from .container import streaming
+
+        t = _Timer(args.time)
+        with open(src, "rb") as f_in, open(out, "wb") as f_out:
+            written = streaming.compress_stream(
+                f_in, f_out, chunk_bytes=args.stream_mb << 20,
+                backend=args.backend, block_symbols=args.block_symbols,
+            )
+        in_size = src.stat().st_size
+        t.stage("compress", in_size)
+        _report(in_size, written)
+        return 0
     data = src.read_bytes()
     t = _Timer(args.time)
     blob = api.compress(
@@ -105,7 +120,6 @@ def cmd_compress(args) -> int:
         n_shards=args.shards,
     )
     t.stage("compress", len(data))
-    out = Path(args.output) if args.output else src.with_name(src.name + ".htpu")
     out.write_bytes(blob)
     _report(len(data), len(blob))
     return 0
@@ -115,16 +129,30 @@ def cmd_decompress(args) -> int:
     from . import api
 
     src = Path(args.file)
-    blob = src.read_bytes()
-    t = _Timer(args.time)
-    data = api.decompress(blob, backend=args.backend)
-    t.stage("decompress", len(data))
     if args.output:
         out = Path(args.output)
     elif src.suffix == ".htpu":
         out = _unique_path(src.with_suffix(""))
     else:
         out = _unique_path(Path("DECOMPRESSED_FILE"))
+
+    with open(src, "rb") as f:
+        head = f.read(4)
+    from .container import streaming
+
+    if len(head) == 4 and int.from_bytes(head, "little") == streaming.MAGIC:
+        # HTPS: stream chunk by chunk, bounded memory.
+        t = _Timer(args.time)
+        with open(src, "rb") as f_in, open(out, "wb") as f_out:
+            n = streaming.decompress_stream(f_in, f_out, backend=args.backend)
+        t.stage("decompress", n)
+        print(f"wrote {out} ({n} bytes)")
+        return 0
+
+    blob = src.read_bytes()
+    t = _Timer(args.time)
+    data = api.decompress(blob, backend=args.backend)
+    t.stage("decompress", len(data))
     out.write_bytes(data)
     print(f"wrote {out} ({len(data)} bytes)")
     return 0
@@ -133,6 +161,7 @@ def cmd_decompress(args) -> int:
 def _detect(blob: bytes) -> str:
     from .container.block_format import NATIVE_MAGIC
     from .container.sharded import MAGIC as HTPX_MAGIC
+    from .container.streaming import MAGIC as HTPS_MAGIC
 
     if len(blob) >= 4:
         magic = int.from_bytes(blob[0:4], "little")
@@ -140,6 +169,8 @@ def _detect(blob: bytes) -> str:
             return "htpu"
         if magic == HTPX_MAGIC:
             return "htpx"
+        if magic == HTPS_MAGIC:
+            return "htps"
     return "reference"
 
 
@@ -167,6 +198,22 @@ def cmd_info(args) -> int:
             print(f"blocks: {c.num_blocks} x {c.block_symbols} symbols")
             print(f"codebook: {c.n_unique} symbols, max code length {c.max_len}")
         print(f"crc32: {c.crc32:08x}")
+    elif kind == "htps":
+        n_records = 0
+        total_comp = len(blob)
+        pos = 8
+        while pos + 4 <= len(blob):
+            size = int.from_bytes(blob[pos : pos + 4], "little")
+            pos += 4
+            if size == 0:
+                break
+            n_records += 1
+            pos += size
+        original = int.from_bytes(blob[pos : pos + 8], "little") if pos + 8 <= len(blob) else 0
+        print(f"format: HTPS streaming container v{blob[4]}")
+        print(f"original size: {original}")
+        print(f"compressed size: {total_comp} ({100*total_comp/max(original,1):.2f}%)")
+        print(f"chunks: {n_records}")
     elif kind == "htpx":
         n_shards = int.from_bytes(blob[8:12], "little")
         original = int.from_bytes(blob[12:20], "little")
@@ -250,6 +297,12 @@ def build_parser() -> argparse.ArgumentParser:
         type=int,
         default=1,
         help="split into N independently decodable shards (HTPX archive)",
+    )
+    sp.add_argument(
+        "--stream-mb",
+        type=int,
+        default=0,
+        help="stream in N-MiB chunks with bounded memory (HTPS container)",
     )
     sp.set_defaults(fn=cmd_compress)
 

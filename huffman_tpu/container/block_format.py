@@ -244,14 +244,21 @@ def compress(
             and codebook.max_len > max_code_len
             and n_pairs < (1 << 30)
         ):
-            from ..ops.device_codebook import device_code_lengths
+            # Depth limiting is a decode-speed optimization, not a
+            # correctness requirement: if the package-merge rebuild can't
+            # run (e.g. no usable JAX backend in a host-only process),
+            # keep the unlimited codebook.
+            try:
+                from ..ops.device_codebook import device_code_lengths
 
-            lengths = np.asarray(
-                device_code_lengths(
-                    freqs.astype(np.int32), max_len=max_code_len
-                )
-            ).astype(np.uint8)
-            codebook = Codebook.from_lengths(lengths)
+                lengths = np.asarray(
+                    device_code_lengths(
+                        freqs.astype(np.int32), max_len=max_code_len
+                    )
+                ).astype(np.uint8)
+                codebook = Codebook.from_lengths(lengths)
+            except Exception:
+                pass
 
     if mode == "interleaved":
         out = _compress_v2(
