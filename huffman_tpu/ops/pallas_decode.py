@@ -100,16 +100,26 @@ def build_symtab(sym_order: np.ndarray):
 
 def _lane_gather_i32(rows: jax.Array, idx: jax.Array) -> jax.Array:
     """rows.reshape(-1)[idx] for rows (R,128) int32 and idx (8,128) int32
-    with values < R*128. R unrolled; each step is a native per-element lane
-    gather (measured ~35 Gelem/s at R=8)."""
+    with values < R*128. Each row is a native per-element lane gather
+    (~35 Gelem/s measured); the row results combine through a BALANCED
+    select tree — a linear where-chain makes the dependency depth R, which
+    dominates at 32-row symbol tables."""
     r = idx >> 7
     m = idx & 127
-    out = jnp.zeros(idx.shape, dtype=rows.dtype)
-    for q in range(rows.shape[0]):
-        row = jnp.broadcast_to(rows[q][None, :], idx.shape)
-        g = jnp.take_along_axis(row, m, axis=1)
-        out = jnp.where(r == q, g, out)
-    return out
+    leaves = [
+        jnp.take_along_axis(
+            jnp.broadcast_to(rows[q][None, :], idx.shape), m, axis=1
+        )
+        for q in range(rows.shape[0])
+    ]
+
+    def tree(lo: int, hi: int) -> jax.Array:
+        if hi - lo == 1:
+            return leaves[lo]
+        mid = (lo + hi) // 2
+        return jnp.where(r >= mid, tree(mid, hi), tree(lo, mid))
+
+    return tree(0, len(leaves))
 
 
 def _prefix_rank(mask: jax.Array, tril128: jax.Array):
