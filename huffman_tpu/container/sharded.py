@@ -41,7 +41,6 @@ from __future__ import annotations
 import numpy as np
 
 from ..codebook import Codebook
-from ..constants import MAX_SYMBOLS
 from . import block_format
 from .reference_format import bytes_to_symbols, histogram_host
 

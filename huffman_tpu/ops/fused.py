@@ -22,7 +22,7 @@ from . import encode as enc
 from .device_codebook import device_canonical_tables, device_code_lengths
 from .device_interleave import build_streams_device
 from .histogram import histogram_matmul
-from .pallas_decode import GROUP_LANES, PRELOAD_WORDS, WINDOW_ROWS
+from .pallas_decode import GROUP_LANES, WINDOW_ROWS
 
 
 @functools.partial(
