@@ -74,18 +74,23 @@ def encode_device(
     else:
         codes, lens = enc.gather_codes(sym2, enc_codes, enc_lens, val2)
     offsets, bits = enc.block_offsets(lens)
-    if n_lanes % GROUP_LANES == 0:
-        from .pallas_encode import pack_blocks_pallas
-
-        slab = pack_blocks_pallas(codes, lens, W, interpret=interpret)
-    else:
-        slab = enc.pack_blocks(codes, lens, offsets, W)
-
     min_len = jnp.min(jnp.where(lengths > 0, lengths, MAX_CODE_LEN + 1))
     min_len = jnp.minimum(min_len, MAX_CODE_LEN)  # empty alphabet guard
     eff = jnp.where(val2, lens, min_len).astype(jnp.int32)
     n_real = (n_pairs + B - 1) // B
-    streams, counts = build_streams_device(slab, eff, n_real, words_cap=cap)
+    if n_lanes % GROUP_LANES == 0:
+        # Direct staging -> stream: the Pallas packer runs on the protocol
+        # lengths and the interleaved payload assembles without ever
+        # materializing the per-lane slab (the slab compaction scatter was
+        # the fused encoder's single largest cost).
+        from .pallas_encode import pack_streams_pallas
+
+        streams, counts = pack_streams_pallas(
+            codes, eff, n_real, words_cap=cap, interpret=interpret
+        )
+    else:
+        slab = enc.pack_blocks(codes, lens, offsets, W)
+        streams, counts = build_streams_device(slab, eff, n_real, words_cap=cap)
     return {
         "streams": streams,
         "counts": counts,

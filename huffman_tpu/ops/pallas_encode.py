@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_decode import GROUP_LANES, LANES, SUBLANES
+from .pallas_decode import GROUP_LANES, LANES, PRELOAD_WORDS, SUBLANES
 
 
 def _pack_kernel(codes_ref, lens_ref, out_ref, *, n_steps: int):
@@ -66,6 +66,145 @@ def _pack_kernel(codes_ref, lens_ref, out_ref, *, n_steps: int):
         (jnp.zeros(shape, jnp.uint32), jnp.zeros(shape, jnp.int32)),
     )
     out_ref[n_steps] = pltpu.bitcast(buf, jnp.int32)
+
+
+def _staging(codes: jax.Array, lens: jax.Array, interpret: bool) -> jax.Array:
+    """Run the pack kernel; returns staging (nblocks, B+1) uint32 in
+    (lane, step) order — row t holds the word completed at step t."""
+    nblocks, B = codes.shape
+    ngroups = nblocks // GROUP_LANES
+
+    def to_grid(a):
+        return (
+            a.reshape(ngroups, SUBLANES, LANES, B)
+            .transpose(0, 3, 1, 2)
+            .reshape(ngroups * B, SUBLANES, LANES)
+        )
+
+    kernel = functools.partial(_pack_kernel, n_steps=B)
+    staging = pl.pallas_call(
+        kernel,
+        grid=(ngroups,),
+        in_specs=[
+            pl.BlockSpec((B, SUBLANES, LANES), lambda g: (g, 0, 0)),
+            pl.BlockSpec((B, SUBLANES, LANES), lambda g: (g, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((B + 1, SUBLANES, LANES), lambda g: (g, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct(
+            (ngroups * (B + 1), SUBLANES, LANES), jnp.int32
+        ),
+        interpret=interpret,
+    )(to_grid(codes.astype(jnp.uint32)), to_grid(lens.astype(jnp.int32)))
+    return (
+        jax.lax.bitcast_convert_type(staging, jnp.uint32)
+        .reshape(ngroups, B + 1, GROUP_LANES)
+        .transpose(0, 2, 1)
+        .reshape(nblocks, B + 1)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("words_cap", "interpret"))
+def pack_streams_pallas(
+    codes: jax.Array,     # (n_lanes, B) uint32 codewords (0 on garbage steps)
+    eff_lens: jax.Array,  # (n_lanes, B) int32 PROTOCOL lengths (garbage steps
+                          # carry min_len with code 0 — docs/FORMATS.md §3)
+    n_real: jax.Array,    # scalar int32 real lane count
+    words_cap: int,
+    interpret: bool = False,
+):
+    """Pack + interleave in one pass: Pallas packer -> interleaved streams,
+    with NO intermediate slab (device twin of
+    container/interleave.build_interleaved_streams fed by the same eff
+    lengths).
+
+    Key identity (docs/FORMATS.md §3): with one bit-cumsum driving both
+    sides, the decoder consumes word j at the same step the encoder
+    completes word j-2 (both fire when cum crosses 32*(j-1)), so the value
+    landing at each consumption slot is the word completed TWO FIRES LATER
+    in the same lane — a reverse lookahead scan, keeping the one deposit
+    scatter monotone. Returns (streams (ngroups, 2048 + words_cap) uint32,
+    counts)."""
+    n_lanes, B = codes.shape
+    ngroups = n_lanes // GROUP_LANES
+
+    st = _staging(codes, eff_lens, interpret)  # (n_lanes, B+1)
+
+    lane = jnp.arange(n_lanes, dtype=jnp.int32)
+    real = (lane < n_real)[:, None]
+    cum = jnp.where(real, jnp.cumsum(eff_lens.astype(jnp.int32), axis=1), 0)
+    r = cum >> 5
+    r_prev = jnp.concatenate(
+        [jnp.zeros((n_lanes, 1), jnp.int32), r[:, :-1]], axis=1
+    )
+    ind = r - r_prev  # fire indicator (emission AND consumption, shifted)
+
+    # Word completed two fires later, per fire slot (reverse scan). The
+    # carry seeds are the words consumed by the final two fires: the last
+    # fire reads past the payload (zero garbage), the second-to-last reads
+    # the lane's final left-aligned PARTIAL word (staging row B).
+    def back(carry, x):
+        v1, v2 = carry
+        fired, word = x
+        out = jnp.where(fired, v2, 0)
+        v2n = jnp.where(fired, v1, v2)
+        v1n = jnp.where(fired, word, v1)
+        return (v1n, v2n), out
+
+    zeros = jnp.zeros((n_lanes,), jnp.uint32)
+    _, v2later = jax.lax.scan(
+        back, (st[:, B], zeros),
+        (ind.T > 0, st[:, :B].T),
+        reverse=True,
+    )  # (B, n_lanes)
+
+    # Consumption-slot positions: exclusive (step-major, lane-minor) cumsum
+    # per group, offset past the preload words.
+    ind_g = (
+        ind.reshape(ngroups, GROUP_LANES, B)
+        .transpose(0, 2, 1)
+        .reshape(ngroups, B * GROUP_LANES)
+    )
+    incl = jnp.cumsum(ind_g, axis=1)
+    pos = incl - ind_g
+    counts = incl[:, -1]
+    goff = jnp.arange(ngroups, dtype=jnp.int32)[:, None] * words_cap
+    vals = (
+        v2later.reshape(B, ngroups, GROUP_LANES)
+        .transpose(1, 0, 2)
+        .reshape(ngroups, B * GROUP_LANES)
+    )
+    body = jnp.zeros(ngroups * words_cap, dtype=jnp.uint32)
+    body = body.at[(pos + goff).reshape(-1)].add(
+        jnp.where(ind_g > 0, vals, 0).reshape(-1),
+        mode="drop", indices_are_sorted=True,
+    ).reshape(ngroups, words_cap)
+
+    # Preload: each lane's first two stream words (fires 0 and 1); a lane
+    # whose bit total never crosses the 32/64 boundary supplies its final
+    # left-aligned partial word (staging row B) there instead.
+    ge32 = cum >= 32
+    ge64 = cum >= 64
+    t0 = jnp.argmax(ge32, axis=1)[:, None]
+    t1 = jnp.argmax(ge64, axis=1)[:, None]
+    partial = st[:, B:]
+    has32 = ge32.any(axis=1, keepdims=True)
+    has64 = ge64.any(axis=1, keepdims=True)
+    w0 = jnp.where(
+        has32, jnp.take_along_axis(st[:, :B], t0, axis=1), partial
+    )
+    w1 = jnp.where(
+        has64,
+        jnp.take_along_axis(st[:, :B], t1, axis=1),
+        jnp.where(has32, partial, 0),
+    )
+    pre = (
+        jnp.concatenate([w0, w1], axis=1)      # (n_lanes, 2)
+        .reshape(ngroups, GROUP_LANES, PRELOAD_WORDS)
+        .transpose(0, 2, 1)
+        .reshape(ngroups, PRELOAD_WORDS * GROUP_LANES)
+    )
+    streams = jnp.concatenate([pre, body], axis=1)
+    return streams, counts + PRELOAD_WORDS * GROUP_LANES
 
 
 @functools.partial(jax.jit, static_argnames=("words_per_block", "interpret"))
