@@ -205,6 +205,48 @@ def _encode_slab_jax(symbols, codebook, nblocks, B):
     return np.asarray(slab), block_bits_np, np.asarray(lens)
 
 
+def _encode_streams_jax(symbols, codebook, n_lanes, B, n_real):
+    """Device encode straight to interleaved streams (gather -> Pallas
+    pack -> staging->stream; no slab, one D2H of the trimmed payload)."""
+    import jax.numpy as jnp
+
+    from ..ops import encode as enc
+    from ..ops.pallas_encode import pack_streams_pallas
+    from ..ops.tables import device_tables
+    from ..constants import GROUP_LANES
+
+    t = device_tables(codebook)
+    padded = np.zeros(n_lanes * B, dtype=np.int32)
+    padded[: symbols.size] = symbols
+    sym_dev = jnp.asarray(padded).reshape(n_lanes, B)
+    valid = (
+        jnp.arange(n_lanes * B, dtype=jnp.int32).reshape(n_lanes, B)
+        < symbols.size
+    )
+    if t.enc_packed is not None:
+        codes, lens = enc.gather_codes_packed(sym_dev, t.enc_packed, valid)
+    else:
+        codes, lens = enc.gather_codes(sym_dev, t.enc_codes, t.enc_lens, valid)
+    present = codebook.lengths[codebook.lengths > 0]
+    min_len = int(present.min()) if present.size else 1
+    eff = jnp.where(valid, lens, min_len).astype(jnp.int32)
+
+    # Exact per-group word bound from the bit totals (one tiny D2H), so
+    # the padded stream buffer (and its D2H) stays near the payload size.
+    bits = np.asarray(jnp.sum(eff, axis=1)).astype(np.int64)
+    bits[n_real:] = 0
+    gwords = (bits >> 5).reshape(-1, GROUP_LANES).sum(axis=1)
+    cap = _bucket_words(max(int(gwords.max(initial=1)), 128))
+
+    streams, counts = pack_streams_pallas(
+        codes, eff, jnp.asarray(n_real, jnp.int32), words_cap=cap,
+        interpret=not _use_device(),
+    )
+    counts = np.asarray(counts)
+    streams = np.asarray(streams)
+    return [streams[g, : counts[g]] for g in range(streams.shape[0])]
+
+
 # --------------------------------------------------------------------------
 # compress
 # --------------------------------------------------------------------------
@@ -320,11 +362,17 @@ def _compress_v2(data, symbols, is_odd, last_byte, cb, B, nblocks, backend,
         return bytes(out)
 
     n_lanes = (nblocks + GROUP_LANES - 1) // GROUP_LANES * GROUP_LANES
-    slab, block_bits, lens = _encode_slab(symbols, cb, n_lanes, B, backend)
-    present = cb.lengths[cb.lengths > 0]
-    min_len = int(present.min()) if present.size else 1
-    eff = il.effective_lengths(lens, symbols.size, min_len, n_lanes, B)
-    streams = il.build_streams(slab, eff, nblocks)
+    use_dev = backend == "jax" or (
+        backend is None and _use_device() and symbols.size >= DEVICE_MIN_PAIRS
+    )
+    if use_dev:
+        streams = _encode_streams_jax(symbols, cb, n_lanes, B, nblocks)
+    else:
+        slab, block_bits, lens = _encode_slab(symbols, cb, n_lanes, B, backend)
+        present = cb.lengths[cb.lengths > 0]
+        min_len = int(present.min()) if present.size else 1
+        eff = il.effective_lengths(lens, symbols.size, min_len, n_lanes, B)
+        streams = il.build_streams(slab, eff, nblocks)
 
     # Strip pad-lane preload zeros: the stream's first 2*GROUP_LANES words
     # are w0[lane 0..1023], w1[lane 0..1023]; only the first n_real of each
