@@ -174,24 +174,35 @@ def _encode_slab_numpy(symbols, codebook, nblocks, B):
     return slab, block_bits, lens.astype(np.int32)
 
 
-def _encode_slab_jax(symbols, codebook, nblocks, B):
+def _gather_device(symbols, codebook, n_lanes, B):
+    """Shared device front half: upload padded symbols, gather (codes,
+    lens) with the packed single-gather table when the codebook allows.
+    Returns (codes, lens, valid) device arrays of shape (n_lanes, B)."""
     import jax.numpy as jnp
 
     from ..ops import encode as enc
-    from ..constants import GROUP_LANES
     from ..ops.tables import device_tables
 
     t = device_tables(codebook)
-    padded = np.zeros(nblocks * B, dtype=np.int32)
+    padded = np.zeros(n_lanes * B, dtype=np.int32)
     padded[: symbols.size] = symbols
-    sym_dev = jnp.asarray(padded).reshape(nblocks, B)
+    sym_dev = jnp.asarray(padded).reshape(n_lanes, B)
     valid = (
-        jnp.arange(nblocks * B, dtype=jnp.int32).reshape(nblocks, B) < symbols.size
+        jnp.arange(n_lanes * B, dtype=jnp.int32).reshape(n_lanes, B)
+        < symbols.size
     )
     if t.enc_packed is not None:
         codes, lens = enc.gather_codes_packed(sym_dev, t.enc_packed, valid)
     else:
         codes, lens = enc.gather_codes(sym_dev, t.enc_codes, t.enc_lens, valid)
+    return codes, lens, valid
+
+
+def _encode_slab_jax(symbols, codebook, nblocks, B):
+    from ..ops import encode as enc
+    from ..constants import GROUP_LANES
+
+    codes, lens, _ = _gather_device(symbols, codebook, nblocks, B)
     offsets, block_bits = enc.block_offsets(lens)
     block_bits_np = np.asarray(block_bits).astype(np.int64)
     W = _bucket_words(int((block_bits_np.max(initial=1) + 31) // 32))
@@ -210,23 +221,10 @@ def _encode_streams_jax(symbols, codebook, n_lanes, B, n_real):
     pack -> staging->stream; no slab, one D2H of the trimmed payload)."""
     import jax.numpy as jnp
 
-    from ..ops import encode as enc
     from ..ops.pallas_encode import pack_streams_pallas
-    from ..ops.tables import device_tables
     from ..constants import GROUP_LANES
 
-    t = device_tables(codebook)
-    padded = np.zeros(n_lanes * B, dtype=np.int32)
-    padded[: symbols.size] = symbols
-    sym_dev = jnp.asarray(padded).reshape(n_lanes, B)
-    valid = (
-        jnp.arange(n_lanes * B, dtype=jnp.int32).reshape(n_lanes, B)
-        < symbols.size
-    )
-    if t.enc_packed is not None:
-        codes, lens = enc.gather_codes_packed(sym_dev, t.enc_packed, valid)
-    else:
-        codes, lens = enc.gather_codes(sym_dev, t.enc_codes, t.enc_lens, valid)
+    codes, lens, valid = _gather_device(symbols, codebook, n_lanes, B)
     present = codebook.lengths[codebook.lengths > 0]
     min_len = int(present.min()) if present.size else 1
     eff = jnp.where(valid, lens, min_len).astype(jnp.int32)

@@ -43,9 +43,11 @@ def encode_device(
     ``lengths`` (for the container codebook header), per-block ``bits``,
     and the decode tables (``lj_limit``, ``base``, ``sym_rank``).
 
-    words_per_block defaults to B (the 32-bit/symbol worst case) so the
-    program is shape-static with no host-visible scan result; callers that
-    know their data may pass a tighter bucket.
+    ``words_cap`` (per-group stream words) defaults to the B*GROUP_LANES
+    worst case so the program is shape-static with no host-visible scan
+    result; callers with host-visible bit totals may pass a tighter bound
+    (it must cover EVERY group, not the average). ``words_per_block`` only
+    applies to the slab fallback taken when n_lanes isn't group-aligned.
     """
     n_total = symbols.shape[0]
     n_lanes = n_total // B

@@ -123,7 +123,13 @@ def pack_streams_pallas(
     landing at each consumption slot is the word completed TWO FIRES LATER
     in the same lane — a reverse lookahead scan, keeping the one deposit
     scatter monotone. Returns (streams (ngroups, 2048 + words_cap) uint32,
-    counts)."""
+    counts).
+
+    ``words_cap`` must bound EVERY group's body words (counts[g] - 2048),
+    not the average — a group's deposits silently spill into the next
+    group's region past its cap (mode="drop" only guards the buffer end).
+    B * GROUP_LANES is always safe; callers with host-visible bit totals
+    can size it exactly and verify via the returned counts."""
     n_lanes, B = codes.shape
     ngroups = n_lanes // GROUP_LANES
 
@@ -221,45 +227,13 @@ def pack_blocks_pallas(
     """
     nblocks, B = codes.shape
     W = words_per_block
-    ngroups = nblocks // GROUP_LANES
-    if ngroups * GROUP_LANES != nblocks:
+    if (nblocks // GROUP_LANES) * GROUP_LANES != nblocks:
         raise ValueError("nblocks must be a multiple of GROUP_LANES")
-
-    # (nblocks, B) -> (ngroups * B, 8, 128) step-major per group.
-    def to_grid(a):
-        return (
-            a.reshape(ngroups, SUBLANES, LANES, B)
-            .transpose(0, 3, 1, 2)
-            .reshape(ngroups * B, SUBLANES, LANES)
-        )
-
-    cg = to_grid(codes.astype(jnp.uint32))
-    lg = to_grid(lens.astype(jnp.int32))
-
-    kernel = functools.partial(_pack_kernel, n_steps=B)
-    staging = pl.pallas_call(
-        kernel,
-        grid=(ngroups,),
-        in_specs=[
-            pl.BlockSpec((B, SUBLANES, LANES), lambda g: (g, 0, 0)),
-            pl.BlockSpec((B, SUBLANES, LANES), lambda g: (g, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((B + 1, SUBLANES, LANES), lambda g: (g, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct(
-            (ngroups * (B + 1), SUBLANES, LANES), jnp.int32
-        ),
-        interpret=interpret,
-    )(cg, lg)
 
     # Compact staging -> slab rows. Word j of lane l completed at the step
     # where cumulative bits first reached 32*(j+1); the final partial word
     # sits in staging row B. One scatter element per completed word.
-    st = (
-        jax.lax.bitcast_convert_type(staging, jnp.uint32)
-        .reshape(ngroups, B + 1, GROUP_LANES)
-        .transpose(0, 2, 1)
-        .reshape(nblocks, B + 1)
-    )  # (lane, step) — one HBM transpose pass
+    st = _staging(codes, lens, interpret)  # (lane, step)
 
     cum = jnp.cumsum(lens.astype(jnp.int32), axis=1)
     r = cum >> 5                       # words completed after each step

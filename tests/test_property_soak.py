@@ -67,6 +67,14 @@ def test_soak(seed):
         for blob in (v2, x, s):
             assert api.decompress(blob, backend="numpy") == data
 
+        # jax backend (Pallas kernels through the interpreter on CPU;
+        # scripts/chip_check.py re-proves them on real hardware): small
+        # inputs only, the interpreter is slow
+        if len(data) <= 20000:
+            vj = bf.compress(data, backend="jax", block_symbols=B)
+            assert vj == bf.compress(data, backend="numpy", block_symbols=B)
+            assert bf.decompress(vj, backend="jax") == data
+
 
 def test_native_python_writer_equivalence_soak():
     """Native and Python reference-format writers stay bit-identical over
