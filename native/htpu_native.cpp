@@ -494,6 +494,28 @@ HTPU_API int htpu_ref_decompress(const uint8_t* blob, int64_t blob_len,
     root[65536] = (int32_t)count;
   }
 
+  // Fast path: a 12-bit direct table for peeks whose top 12 bits uniquely
+  // identify the codeword (true for every code of <= 12 bits and for any
+  // longer code owning its 12-bit prefix alone). Entry = sym << 8 | len;
+  // 0xFFFFFFFF falls back to the range binary search.
+  constexpr int kFastBits = 12;
+  std::vector<uint32_t> fast((size_t)1 << kFastBits, 0xFFFFFFFFu);
+  {
+    int64_t j = 0;
+    for (uint32_t v = 0; v < (1u << kFastBits); ++v) {
+      uint64_t lo_key = (uint64_t)v << (64 - kFastBits);
+      uint64_t hi_key = lo_key | (~0ull >> kFastBits);
+      while (j < count && lj_s[j] < lo_key) ++j;
+      // candidate for the whole bucket: greatest lj <= lo_key
+      int64_t idx = j - 1 + (j < count && lj_s[j] == lo_key ? 1 : 0);
+      if (idx < 0) continue;
+      // unique iff no other codeword boundary falls inside the bucket
+      int64_t nxt = idx + 1;
+      if (nxt < count && lj_s[nxt] <= hi_key) continue;
+      fast[v] = ((uint32_t)sym_s[idx] << 8) | len_s[idx];
+    }
+  }
+
   // Payload bit cursor; pad the source so peek64 never reads past the end.
   int64_t payload_pos = r.pos;
   std::vector<uint8_t> padded((size_t)blob_len + 16, 0);
@@ -508,6 +530,13 @@ HTPU_API int htpu_ref_decompress(const uint8_t* blob, int64_t blob_len,
   for (int64_t i = 0; i < n_pairs; ++i) {
     if (pos >= pos_limit) return HTPU_E_TRUNCATED;
     uint64_t peek = peek64(src, pos);
+    uint32_t e = fast[peek >> (64 - kFastBits)];
+    if (e != 0xFFFFFFFFu) {
+      out[2 * i] = (uint8_t)((e >> 8) & 0xFF);
+      out[2 * i + 1] = (uint8_t)(e >> 16);
+      pos += e & 0xFF;
+      continue;
+    }
     int32_t lo = root[peek >> 48];
     int32_t hi = root[(peek >> 48) + 1];
     // greatest index in [lo, hi) with lj_s <= peek; fallback lo-1.
