@@ -27,7 +27,9 @@ import numpy as np
 def _timed_repeat(jax, jnp, decode_fn, streams, iters: int):
     from huffman_tpu.utils.timing import amortized_time_fn
 
-    return amortized_time_fn(decode_fn, streams, iters=iters)
+    # 5 reps: the chip is shared and a 3-rep median can land entirely
+    # inside a noisy window (observed ±8-35% tenant interference).
+    return amortized_time_fn(decode_fn, streams, iters=iters, reps=5)
 
 
 def main() -> None:
