@@ -248,6 +248,33 @@ def cmd_verify(args) -> int:
     return 0
 
 
+def cmd_transcode(args) -> int:
+    from . import api
+
+    blob = Path(args.file).read_bytes()
+    kind = _detect(blob)
+    t = _Timer(args.time)
+    if kind == "reference":
+        data = api.decompress_reference(blob, backend=args.backend)
+    else:
+        data = api.decompress(blob, backend=args.backend)
+    if args.to == "htpu":
+        out_blob = api.compress(data, backend=args.backend)
+        suffix = ".htpu"
+    else:
+        out_blob = api.compress_reference(data, backend=args.backend)
+        suffix = ".compressed"
+    t.stage("transcode", len(data))
+    src = Path(args.file)
+    out = Path(args.output) if args.output else src.with_suffix(suffix)
+    out.write_bytes(out_blob)
+    print(
+        f"{kind} ({len(blob)} B) -> {args.to} ({len(out_blob)} B), "
+        f"original {len(data)} B -> {out}"
+    )
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="huffman_tpu",
@@ -318,6 +345,20 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("file")
     sp.add_argument("--backend", choices=["native", "numpy", "jax"], default=None)
     sp.set_defaults(fn=cmd_verify)
+
+    sp = sub.add_parser(
+        "transcode",
+        help="convert between container formats (e.g. reference .compressed "
+        "-> native .htpu; the migration path for reference users)",
+    )
+    common(sp)
+    sp.add_argument(
+        "--to",
+        choices=["htpu", "reference"],
+        default="htpu",
+        help="target format (default: native htpu)",
+    )
+    sp.set_defaults(fn=cmd_transcode)
     return p
 
 

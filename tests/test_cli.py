@@ -97,3 +97,32 @@ def test_verify_corrupt_fails(sample, tmp_path):
     bad = tmp_path / "bad.htpu"
     bad.write_bytes(bytes(blob))
     assert cli.main(["verify", str(bad), "--backend", "numpy"]) == 2
+
+
+def test_transcode_reference_to_native(tmp_path, monkeypatch):
+    """The migration path: a reference-produced .compressed converts to the
+    native container and back, bit-exact."""
+    import numpy as np
+
+    rng = np.random.default_rng(77)
+    data = (rng.zipf(1.5, size=30001) % 200).astype(np.uint8).tobytes()
+    src = tmp_path / "f.bin"
+    src.write_bytes(data)
+    cli.main(["archive", str(src), "-o", str(tmp_path / "f.compressed")])
+    assert cli.main([
+        "transcode", str(tmp_path / "f.compressed"),
+        "-o", str(tmp_path / "f.htpu"), "--backend", "numpy",
+    ]) == 0
+    assert cli.main([
+        "decompress", str(tmp_path / "f.htpu"),
+        "-o", str(tmp_path / "f.out"), "--backend", "numpy",
+    ]) == 0
+    assert (tmp_path / "f.out").read_bytes() == data
+    # and back to reference format
+    assert cli.main([
+        "transcode", str(tmp_path / "f.htpu"), "--to", "reference",
+        "-o", str(tmp_path / "f2.compressed"), "--backend", "numpy",
+    ]) == 0
+    assert (tmp_path / "f2.compressed").read_bytes() == (
+        tmp_path / "f.compressed"
+    ).read_bytes()  # canonical writers are deterministic
