@@ -150,10 +150,13 @@ def pack_codes(
     l_ = lengths.astype(np.uint64)
     right = sh + l_  # bit position one past the end, within a 64-bit window
     # Shift code left so its MSB sits at bit (63 - sh) of a u64 window,
-    # then split the window into two u32 halves.
-    window = codes << (np.uint64(64) - right)
-    part1 = (window >> np.uint64(32)).astype(np.uint64)
-    part2 = (window & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+    # then split the window into two u32 halves. Zero-length entries must
+    # contribute nothing even with a nonzero code value (and their shift
+    # count of 64 - sh would be undefined), so mask them explicitly.
+    zero = lengths == 0
+    window = codes << (np.uint64(64) - np.where(zero, np.uint64(32), right))
+    part1 = np.where(zero, 0, (window >> np.uint64(32)).astype(np.uint64))
+    part2 = np.where(zero, 0, (window & np.uint64(0xFFFFFFFF)).astype(np.uint64))
 
     words64 = np.zeros(nwords + 1, dtype=np.uint64)
     np.add.at(words64, w, part1)

@@ -44,15 +44,18 @@ def code_lengths_from_frequencies(freqs: np.ndarray) -> np.ndarray:
     freqs = np.asarray(freqs)
     if freqs.shape == (MAX_SYMBOLS,):
         # The native two-queue builder (same algorithm, same tie-breaking)
-        # is ~50x faster on full-alphabet inputs; fall through on any
-        # loading problem.
+        # is ~50x faster on full-alphabet inputs. Only loading problems
+        # fall through — the native library's own validation errors (e.g.
+        # negative counts) must propagate, not silently degrade to a
+        # Python path that would accept the invalid input.
         try:
             from .runtime import native
 
-            if native.available():
-                return native.code_lengths(freqs)
-        except Exception:
-            pass
+            use_native = native.available()
+        except ImportError:
+            use_native = False
+        if use_native:
+            return native.code_lengths(freqs)
     present = np.flatnonzero(freqs)
     n = present.size
     lengths = np.zeros(MAX_SYMBOLS, dtype=np.uint8)
@@ -70,7 +73,10 @@ def code_lengths_from_frequencies(freqs: np.ndarray) -> np.ndarray:
 
     # Two-queue merge. Queue 1: sorted leaves. Queue 2: internal nodes in
     # creation order (their frequencies are non-decreasing by construction).
-    # Ties prefer the internal node (keeps trees shallow on skewed inputs).
+    # Ties prefer the internal node — this can DEEPEN trees relative to the
+    # leaf-preferring choice, but it empirically reproduces the reference's
+    # exact compressed sizes (romeo.txt -> 91,732 B; tests pin this), so it
+    # is part of the interop contract. The native C++ twin matches.
     int_freq = np.empty(n - 1, dtype=np.int64)
     left = np.empty(n - 1, dtype=np.int64)   # child ids; leaves are [0, n)
     right = np.empty(n - 1, dtype=np.int64)  # internals are n + k
@@ -107,21 +113,41 @@ def code_lengths_from_frequencies(freqs: np.ndarray) -> np.ndarray:
 
 
 def _limit_lengths(freqs: np.ndarray, depths: np.ndarray, limit: int) -> np.ndarray:
-    """Heuristic length-limiting (Kraft repair). Only reachable for inputs
-    whose optimal code exceeds MAX_CODE_LEN bits, which requires >2^32
-    symbols of Fibonacci-skewed frequencies — kept for safety, not speed."""
-    depths = np.minimum(depths, limit).astype(np.int64)
-    # Repair Kraft sum K = sum 2^-l <= 1 by deepening the cheapest codes.
-    kraft = np.sum(2.0 ** (-depths.astype(np.float64)))
-    order = np.argsort(freqs)  # cheapest first
-    i = 0
-    while kraft > 1.0 + 1e-12:
-        s = order[i % order.size]
-        if depths[s] < limit:
-            kraft -= 2.0 ** (-depths[s]) - 2.0 ** (-(depths[s] + 1))
-            depths[s] += 1
-        i += 1
-    return depths
+    """Optimal length-limited lengths via boundary package-merge (the same
+    algorithm as ops/device_codebook.py, in NumPy so the host builder has
+    no jax dependency). Only reachable for inputs whose optimal code
+    exceeds MAX_CODE_LEN bits. A clamp-then-deepen Kraft repair is NOT
+    sufficient here: deepening by powers of two can overshoot below the
+    Kraft equality, which Codebook.from_lengths rejects."""
+    del depths  # rebuilt from scratch, optimally
+    n = freqs.size
+    leaf_w = np.sort(freqs.astype(np.float64))
+    # Level lists: weights plus is-package flags; leaves merge in sorted.
+    cur_w = leaf_w
+    flags_by_level = [np.zeros(n, dtype=bool)]
+    for _ in range(limit - 1):
+        pk = cur_w[0 : cur_w.size - (cur_w.size % 2)]
+        pk = pk[0::2] + pk[1::2]
+        w = np.concatenate([leaf_w, pk])
+        f = np.concatenate(
+            [np.zeros(n, dtype=bool), np.ones(pk.size, dtype=bool)]
+        )
+        order = np.argsort(w, kind="stable")
+        cur_w = w[order]
+        flags_by_level.append(f[order])
+
+    lengths_by_rank = np.zeros(n, dtype=np.int64)
+    c = 2 * n - 2
+    ranks = np.arange(n)
+    for lvl in range(limit - 1, -1, -1):
+        flags = flags_by_level[lvl]
+        p = int(flags[:c].sum())
+        m = c - p
+        lengths_by_rank += ranks < m
+        c = 2 * p
+    # Map rank-order lengths back to the caller's (sorted) order: the
+    # caller passes freqs already ascending, so rank order IS input order.
+    return lengths_by_rank
 
 
 @dataclass(frozen=True)

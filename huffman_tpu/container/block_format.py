@@ -263,6 +263,13 @@ def compress(
     depth). The cheap two-queue build runs first; only when the optimal
     code is actually deeper does the optimal package-merge rebuild run.
     Pass None to disable."""
+    if len(data) > (1 << 32):
+        # int32 device paths (histograms, offsets) bound a single HTPU
+        # container; the scale-out formats have no such limit.
+        raise ValueError(
+            "input exceeds 4 GiB: use the HTPS streaming container "
+            "(api.compress via CLI --stream-mb) or an HTPX sharded archive"
+        )
     symbols, is_odd, last_byte = bytes_to_symbols(data)
     n_pairs = symbols.size
     # The TPU decoder emits packed 16-bit symbol pairs, so blocks must hold

@@ -177,6 +177,8 @@ def parse_header(blob: bytes) -> ReferenceHeader:
     pos = 3
     last_byte = 0
     if is_odd:
+        if len(blob) < 4:
+            raise ValueError("truncated reference container")
         last_byte = blob[3]
         pos = 4
     reader = BitReader(blob, pos * 8)
@@ -242,6 +244,10 @@ def decode_payload_host(header: ReferenceHeader, blob: bytes) -> np.ndarray:
         window = (padded[w] << np.uint64(32)) | padded[w + 1]
         peek = (window >> np.uint64(32 - sh)) & np.uint64(0xFFFFFFFF)
         idx = int(np.searchsorted(lj_sorted, peek, side="right")) - 1
+        if idx < 0:
+            # Only possible for an incomplete foreign code with no
+            # all-zeros codeword: the stream is corrupt, not wrap-around.
+            raise ValueError("corrupt payload: bits match no codeword")
         out[i] = sym_sorted[idx]
         pos += int(len_sorted[idx])
     return out

@@ -15,6 +15,12 @@ Compressor.cu:38-48) with two TPU-native strategies:
 Both are jit-compatible with static shapes and run under shard_map with a
 ``psum`` over the data axis for the distributed histogram (SURVEY.md §2
 "Parallelism & distribution").
+
+Counts are int32 (x64 is unavailable on device): a single bin saturates
+past 2^31 pairs (~4 GiB of one repeated byte pair per device shard). The
+container layer enforces a 4 GiB per-container bound; larger corpora go
+through the sharded/streaming formats whose per-shard histograms stay in
+range, and the host histogram (np.bincount / native) is int64.
 """
 
 from __future__ import annotations

@@ -1,9 +1,9 @@
-"""Benchmark harness: kernel-level GB/s on device-resident data.
+"""Benchmark data + helpers.
 
-Measures the device pipeline (gather/scan/pack and block decode) on
-synthetic Silesia-like data, reporting GB/s of *uncompressed* bytes per
-chip — the north-star metric (BASELINE.json). Host container assembly is
-measured separately so kernel speed-of-light work is visible.
+The measurement harnesses live in bench.py / scripts/ and use
+utils.timing.amortized_time_fn (single-dispatch timing is meaningless
+through the axon tunnel — see CLAUDE.md). This module supplies the
+synthetic corpus and the result record type.
 """
 
 from __future__ import annotations
@@ -11,11 +11,6 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import numpy as np
-
-from ..codebook import Codebook
-from ..constants import MAX_SYMBOLS
-from .timing import time_fn
-
 
 def silesia_like(n_bytes: int, seed: int = 0) -> np.ndarray:
     """Synthetic corpus with text-like symbol statistics (no network access
@@ -57,62 +52,3 @@ class BenchResult:
 
     def __str__(self) -> str:
         return f"{self.name}: {self.seconds*1000:.2f} ms, {self.gbps:.2f} GB/s"
-
-
-def bench_pipeline(
-    data: np.ndarray,
-    block_symbols: int = 4096,
-    iters: int = 5,
-) -> dict[str, BenchResult]:
-    """Benchmark device encode stages and block decode on resident data."""
-    import jax
-    import jax.numpy as jnp
-
-    from ..ops import decode as dec
-    from ..ops import encode as enc
-    from ..ops import histogram as hist
-    from ..ops.tables import device_tables
-
-    n_bytes = data.size
-    symbols = data[: n_bytes - (n_bytes % 2)].view("<u2").astype(np.int32)
-    B = block_symbols
-    nblocks = symbols.size // B
-    symbols = symbols[: nblocks * B]
-    used_bytes = symbols.size * 2
-
-    cb = Codebook.from_frequencies(np.bincount(symbols, minlength=MAX_SYMBOLS))
-    t = device_tables(cb)
-    sym_dev = jnp.asarray(symbols).reshape(nblocks, B)
-
-    results: dict[str, BenchResult] = {}
-
-    def record(name, fn, *args):
-        sec = time_fn(fn, *args, iters=iters)
-        results[name] = BenchResult(name, sec, used_bytes / sec / 1e9)
-        return fn(*args)
-
-    record("histogram_scatter", hist.histogram_scatter, sym_dev)
-    record("histogram_matmul", hist.histogram_matmul, sym_dev.reshape(-1))
-
-    gather_jit = jax.jit(enc.gather_codes)
-    codes, lens = record("encode_gather", gather_jit, sym_dev, t.enc_codes, t.enc_lens)
-    off_jit = jax.jit(enc.block_offsets)
-    offsets, block_bits = record("encode_scan", off_jit, lens)
-    W = int(np.asarray(jnp.max(block_bits)) + 31) // 32
-    W = max(64, 1 << (W - 1).bit_length())
-    slab = record("encode_pack", enc.pack_blocks, codes, lens, offsets, W)
-
-    def encode_fused(sym):
-        c, l = enc.gather_codes(sym, t.enc_codes, t.enc_lens)
-        o, bb = enc.block_offsets(l)
-        return enc.pack_blocks(c, l, o, W), bb
-
-    record("encode_fused", jax.jit(encode_fused), sym_dev)
-
-    out = record(
-        "decode", dec.decode_blocks, slab, t.lj_limit, t.base, t.sym_order, B, t.max_len
-    )
-    ok = bool(jnp.all(out == sym_dev))
-    if not ok:
-        raise AssertionError("decode mismatch during benchmark")
-    return results

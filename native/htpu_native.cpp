@@ -121,7 +121,9 @@ static inline uint64_t peek64(const uint8_t* p, int64_t pos) {
 // ---------------------------------------------------------------------------
 
 // Same contract and tie-breaking as codebook.code_lengths_from_frequencies:
-// leaves ascending by (freq, symbol); merge ties prefer the internal node;
+// leaves ascending by (freq, symbol); merge ties prefer the internal node
+// (can deepen trees, but reproduces the reference's exact sizes — part of
+// the interop contract pinned by tests);
 // single-symbol alphabets get length 1 (fixing the reference's silent
 // empty-output bug for such inputs, SURVEY.md §4).
 static int code_lengths(const int64_t* freqs, uint8_t* lengths) {
@@ -172,22 +174,43 @@ static int code_lengths(const int64_t* freqs, uint8_t* lengths) {
   int32_t maxd = 0;
   for (int64_t i = 0; i < n; ++i) maxd = std::max(maxd, depth[i]);
   if (maxd > kMaxCodeLen) {
-    // Kraft repair (mirrors codebook._limit_lengths): clamp, then deepen
-    // the lowest-frequency codes until sum 2^-l <= 1. Unreachable for
-    // physical inputs (< 2^32 symbols); kept for safety.
-    double kraft = 0.0;
-    for (int64_t i = 0; i < n; ++i) {
-      if (depth[i] > kMaxCodeLen) depth[i] = kMaxCodeLen;
-      kraft += std::pow(2.0, -(double)depth[i]);
-    }
-    int64_t i = 0;
-    while (kraft > 1.0 + 1e-12) {
-      int64_t s = i % n;  // leaves are already sorted cheapest-first
-      if (depth[s] < kMaxCodeLen) {
-        kraft -= std::pow(2.0, -(double)depth[s]) - std::pow(2.0, -(double)(depth[s] + 1));
-        depth[s] += 1;
+    // Boundary package-merge: OPTIMAL length-limited lengths, mirroring
+    // codebook._limit_lengths operation-for-operation (same float64
+    // arithmetic, same stable leaf-before-package tie order) so the
+    // Python and native builders stay bit-identical on these inputs.
+    // A clamp-then-deepen repair is not enough: it can miss the Kraft
+    // EQUALITY the canonical builders require.
+    std::vector<double> leaf_w(leaf_freq.begin(), leaf_freq.end());
+    std::vector<std::vector<uint8_t>> flags((size_t)kMaxCodeLen);
+    std::vector<double> cur = leaf_w;
+    flags[0].assign((size_t)n, 0);
+    for (int lvl = 1; lvl < kMaxCodeLen; ++lvl) {
+      int64_t m = (int64_t)cur.size() & ~1ll;
+      std::vector<double> pk((size_t)(m / 2));
+      for (int64_t i = 0; i < m / 2; ++i) pk[(size_t)i] = cur[(size_t)(2 * i)] + cur[(size_t)(2 * i + 1)];
+      std::vector<double> w;
+      std::vector<uint8_t> f;
+      w.reserve((size_t)n + pk.size());
+      f.reserve((size_t)n + pk.size());
+      int64_t a = 0, b = 0;
+      while (a < n || b < (int64_t)pk.size()) {
+        bool take_leaf =
+            b >= (int64_t)pk.size() || (a < n && leaf_w[(size_t)a] <= pk[(size_t)b]);
+        if (take_leaf) { w.push_back(leaf_w[(size_t)a++]); f.push_back(0); }
+        else { w.push_back(pk[(size_t)b++]); f.push_back(1); }
       }
-      ++i;
+      cur.swap(w);
+      flags[(size_t)lvl].swap(f);
+    }
+    for (int64_t i = 0; i < n; ++i) depth[i] = 0;
+    int64_t c = 2 * n - 2;
+    for (int lvl = kMaxCodeLen - 1; lvl >= 0; --lvl) {
+      const auto& fl = flags[(size_t)lvl];
+      int64_t p = 0;
+      for (int64_t i = 0; i < c && i < (int64_t)fl.size(); ++i) p += fl[(size_t)i];
+      int64_t m = c - p;
+      for (int64_t r = 0; r < m && r < n; ++r) depth[r] += 1;
+      c = 2 * p;
     }
   }
   for (int64_t i = 0; i < n; ++i) lengths[present[i]] = (uint8_t)depth[i];

@@ -101,3 +101,33 @@ def test_decode_all_ones_peek_clamps_to_max_len():
     codes, lengths = cb.encode_symbols_host(symbols)
     words, _ = pack_codes(codes, lengths)
     np.testing.assert_array_equal(cb.decode_stream_host(words, 0, n), symbols)
+
+
+def test_depth_limited_fallback_kraft_equality():
+    """Fibonacci-skewed frequencies force an optimal depth > MAX_CODE_LEN;
+    the limited fallback must produce an exactly-Kraft-complete code (the
+    canonical builder rejects anything else) identical between the native
+    and Python builders (both boundary package-merge)."""
+    import numpy as np
+    from unittest import mock
+
+    from huffman_tpu.codebook import Codebook
+    from huffman_tpu.constants import MAX_SYMBOLS
+    from huffman_tpu.runtime import native
+
+    fib = [1, 1]
+    while len(fib) < 50:
+        fib.append(fib[-1] + fib[-2])
+    freqs = np.zeros(MAX_SYMBOLS, np.int64)
+    freqs[100:150] = fib
+
+    with mock.patch.object(native, "available", return_value=False):
+        from huffman_tpu.codebook import code_lengths_from_frequencies
+
+        py = code_lengths_from_frequencies(freqs)
+    assert py.max() == 32
+    cb = Codebook.from_lengths(py)  # strict Kraft-equality gate
+    assert cb.max_len == 32
+
+    if native.available():
+        assert np.array_equal(native.code_lengths(freqs), py)
