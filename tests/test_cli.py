@@ -126,3 +126,42 @@ def test_transcode_reference_to_native(tmp_path, monkeypatch):
     assert (tmp_path / "f2.compressed").read_bytes() == (
         tmp_path / "f.compressed"
     ).read_bytes()  # canonical writers are deterministic
+
+
+def test_stream_mb_roundtrip(sample, tmp_path):
+    src, data = sample
+    out = tmp_path / "s.htps"
+    assert cli.main([
+        "compress", str(src), "-o", str(out), "--stream-mb", "1",
+        "--backend", "numpy",
+    ]) == 0
+    dec = tmp_path / "s.out"
+    assert cli.main([
+        "decompress", str(out), "-o", str(dec), "--backend", "numpy",
+    ]) == 0
+    assert dec.read_bytes() == data
+    assert cli.main(["info", str(out)]) == 0
+    assert cli.main(["verify", str(out), "--backend", "numpy"]) == 0
+
+
+def test_stream_mb_rejects_conflicting_flags(sample, tmp_path):
+    src, _ = sample
+    assert cli.main([
+        "compress", str(src), "-o", str(tmp_path / "x"), "--stream-mb", "1",
+        "--shards", "3",
+    ]) == 2
+
+
+def test_stream_decompress_preserves_output_on_corruption(sample, tmp_path):
+    """A corrupt stream must not clobber an existing output file."""
+    src, data = sample
+    out = tmp_path / "c.htps"
+    cli.main(["compress", str(src), "-o", str(out), "--stream-mb", "1",
+              "--backend", "numpy"])
+    dst = tmp_path / "keep.bin"
+    dst.write_bytes(b"precious")
+    bad = tmp_path / "bad.htps"
+    bad.write_bytes(out.read_bytes()[: out.stat().st_size // 2])
+    assert cli.main(["decompress", str(bad), "-o", str(dst),
+                     "--backend", "numpy"]) == 2
+    assert dst.read_bytes() == b"precious"
