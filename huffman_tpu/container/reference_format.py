@@ -221,11 +221,9 @@ def decode_payload_host(header: ReferenceHeader, blob: bytes) -> np.ndarray:
     """
     n_pairs = header.file_size // 2
     if header.lengths.size and header.lengths.max() > 32:
-        # The format permits up to 64-bit codes; this pure-Python fallback
-        # left-justifies in 32 bits. The native C++ decoder handles 33-64.
-        raise ValueError(
-            "code length > 32: use the native runtime decoder for this blob"
-        )
+        # The format permits up to 64-bit codes; fall back to a Python-int
+        # 64-bit-peek walk so foreign containers decode even without g++.
+        return _decode_payload_host64(header, blob, n_pairs)
     lj = (header.codes.astype(np.uint64) << (32 - header.lengths.astype(np.uint64))) & np.uint64(
         0xFFFFFFFF
     )
@@ -250,6 +248,39 @@ def decode_payload_host(header: ReferenceHeader, blob: bytes) -> np.ndarray:
             raise ValueError("corrupt payload: bits match no codeword")
         out[i] = sym_sorted[idx]
         pos += int(len_sorted[idx])
+    return out
+
+
+def _decode_payload_host64(
+    header: ReferenceHeader, blob: bytes, n_pairs: int
+) -> np.ndarray:
+    """64-bit-window variant of decode_payload_host for foreign containers
+    with code lengths in 33..64 (we never emit them; the format allows
+    them, Decompressor.cu:90-97 reads length as one byte). Python-int
+    arithmetic throughout — correctness fallback, not a production path."""
+    import bisect
+
+    lj = [
+        (int(c) << (64 - int(l))) & 0xFFFFFFFFFFFFFFFF
+        for c, l in zip(header.codes, header.lengths)
+    ]
+    order = sorted(range(len(lj)), key=lj.__getitem__)
+    lj_sorted = [lj[i] for i in order]
+    len_sorted = [int(header.lengths[i]) for i in order]
+    sym_sorted = [int(header.symbols[i]) for i in order]
+
+    padded = blob + b"\x00" * 16
+    out = np.empty(n_pairs, dtype=np.uint16)
+    pos = header.payload_bit_offset
+    for i in range(n_pairs):
+        byte = pos >> 3
+        window = int.from_bytes(padded[byte : byte + 9], "big")
+        peek = (window >> (72 - 64 - (pos & 7))) & 0xFFFFFFFFFFFFFFFF
+        idx = bisect.bisect_right(lj_sorted, peek) - 1
+        if idx < 0:
+            raise ValueError("corrupt payload: bits match no codeword")
+        out[i] = sym_sorted[idx]
+        pos += len_sorted[idx]
     return out
 
 

@@ -68,8 +68,15 @@ def _load() -> ctypes.CDLL | None:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not _LIB.exists():
+        stale = (
+            _LIB.exists()
+            and _SRC.exists()
+            and _SRC.stat().st_mtime > _LIB.stat().st_mtime
+        )
+        if not _LIB.exists() or stale:
             if not _SRC.exists() or not _build():
+                # On a failed rebuild of a stale lib, refuse to silently use
+                # the old binary — twins must stay bit-identical with Python.
                 return None
         try:
             lib = ctypes.CDLL(str(_LIB))
@@ -261,7 +268,11 @@ def interleave_decode(stream: np.ndarray, codebook, B: int, n_real: int) -> np.n
         (codebook.base & 0xFFFFFFFF).astype(np.uint32)
     )
     sym_order = np.ascontiguousarray(codebook.sym_order, dtype=np.uint16)
-    assert lj.size == MAX_CODE_LEN and base.size == MAX_CODE_LEN + 1
+    if lj.size != MAX_CODE_LEN or base.size != MAX_CODE_LEN + 1:
+        raise ValueError(
+            f"decode tables must be dense: lj_limit has {lj.size} rows "
+            f"(want {MAX_CODE_LEN}), base has {base.size} (want {MAX_CODE_LEN + 1})"
+        )
     out = np.zeros((B, GROUP_LANES), dtype=np.uint16)
     rc = lib.htpu_interleave_decode(
         _ptr(stream, ctypes.c_uint32), stream.size,

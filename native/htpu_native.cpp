@@ -21,6 +21,7 @@
 // Error codes: 0 ok; <0 = HTPU_E_* below.
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstdlib>
@@ -357,7 +358,7 @@ HTPU_API int htpu_ref_compress(const uint8_t* data, int64_t data_len,
 
   std::vector<uint8_t> first_byte((size_t)nt, 0);
   std::vector<int64_t> first_pos((size_t)nt, -1);
-  int err = HTPU_OK;
+  std::atomic<int> err{HTPU_OK};
   parallel_for(nt, 1, [&](int64_t a, int64_t b, int) {
     for (int64_t c = a; c < b; ++c) {
       int64_t lo = c * per, hi = std::min<int64_t>(n_pairs, lo + per);
@@ -380,7 +381,7 @@ HTPU_API int htpu_ref_compress(const uint8_t* data, int64_t data_len,
       for (int64_t k = 1; k < lw.n; ++k) out[base + k] |= local[(size_t)k];
     }
   });
-  if (err != HTPU_OK) return err;
+  if (err.load() != HTPU_OK) return err.load();
   for (int c = 0; c < nt; ++c)
     if (first_pos[(size_t)c] >= 0) out[first_pos[(size_t)c]] |= first_byte[(size_t)c];
   *out_len = total_bytes;
@@ -607,7 +608,7 @@ HTPU_API int htpu_interleave_build(const uint32_t* slab, int64_t n_lanes,
   // Pass 1 (parallel over groups): exact stream sizes in closed form —
   // a real lane consumes total_bits >> 5 refill words.
   std::vector<int64_t> offsets((size_t)n_groups + 1, 0);
-  int err = HTPU_OK;
+  std::atomic<int> err{HTPU_OK};
   parallel_for(n_groups, 1, [&](int64_t a, int64_t b, int) {
     for (int64_t g = a; g < b; ++g) {
       int64_t lane0 = g * kGroupLanes, words = kPreloadWords * kGroupLanes;
@@ -653,7 +654,7 @@ HTPU_API int htpu_interleave_build(const uint32_t* slab, int64_t n_lanes,
       }
     }
   });
-  return err;
+  return err.load();
 }
 
 // ---------------------------------------------------------------------------
@@ -785,7 +786,7 @@ HTPU_API int htpu_encode_blocks(const uint16_t* symbols, int64_t n_pairs,
                                 int64_t W, uint32_t* slab) {
   if (!symbols || !codes || !lens || !slab) return HTPU_E_ARGS;
   std::memset(slab, 0, (size_t)(n_lanes * W) * 4);
-  int err = HTPU_OK;
+  std::atomic<int> err{HTPU_OK};
   parallel_for(n_lanes, 64, [&](int64_t a, int64_t b, int) {
     for (int64_t l = a; l < b; ++l) {
       uint32_t* row = slab + l * W;
@@ -813,5 +814,5 @@ HTPU_API int htpu_encode_blocks(const uint16_t* symbols, int64_t n_pairs,
       }
     }
   });
-  return err;
+  return err.load();
 }

@@ -84,3 +84,44 @@ def test_jpeg_compress_size_matches_reference(jpeg_bytes):
     # Full-alphabet stress: 65,289 unique symbols; reference ground truth
     # size from BASELINE.md (inflation case).
     assert len(blob) == 3390172
+
+
+def test_foreign_container_long_codes_python_fallback():
+    """The format allows code lengths up to 64 (Decompressor.cu:90-97 reads
+    a raw byte); we never emit >32 but must *read* foreign containers that
+    do, even without the native runtime. Synthesizes a chain code with a
+    33-bit codeword and decodes it through the pure-Python 64-bit path."""
+    from huffman_tpu.bitio import BitWriter
+
+    K = 33
+    lengths = list(range(1, K + 1)) + [K]
+    symbols = list(range(len(lengths)))
+    codes, code, prev_len = [], 0, lengths[0]
+    for L in lengths:  # canonical assignment
+        code <<= L - prev_len
+        codes.append(code)
+        code += 1
+        prev_len = L
+
+    rng = np.random.default_rng(0)
+    payload_syms = rng.integers(0, len(symbols), 50)
+    file_size = len(payload_syms) * 2
+
+    w = BitWriter()
+    w.write(len(symbols) & 0xFF, 8)
+    w.write((len(symbols) >> 8) & 0xFF, 8)
+    w.write(0, 8)  # isOdd
+    for s, L, c in zip(symbols, lengths, codes):
+        w.write(s, 16)
+        w.write(L, 8)
+        w.write(c, L)
+    for i in range(8):
+        w.write((file_size >> (8 * i)) & 0xFF, 8)
+    for s in payload_syms:
+        w.write(codes[s], lengths[s])
+    blob = w.getvalue()
+
+    hdr = rf.parse_header(blob)
+    assert hdr.lengths.max() == 33
+    out = rf.decode_payload_host(hdr, blob)
+    assert np.array_equal(out, payload_syms.astype(np.uint16))
