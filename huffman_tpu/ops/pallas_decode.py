@@ -334,11 +334,19 @@ def decode_groups(
     multi: int = DEFAULT_MULTI,
     min_len: int = 1,
     interpret: bool = False,
+    sym_order_dev: jax.Array | None = None,  # (n,) int32 rank -> symbol
 ) -> jax.Array:
     """Decode all groups; returns (ngroups * n_steps, 8, 128) int32 where
     row g*n_steps+t holds step t of group g (lane (s,l) = block
     g*1024 + s*128 + l). n_steps must be even (the kernel emits packed
-    16-bit symbol pairs to halve its store traffic)."""
+    16-bit symbol pairs to halve its store traffic).
+
+    For alphabets past GATHER_MAX_ALPHABET the kernel emits canonical
+    ranks; passing ``sym_order_dev`` (with ``translate=False``) applies the
+    rank -> symbol permutation as an XLA gather INSIDE the same program, so
+    no host-side translation loop remains even at the full 65,536-symbol
+    alphabet (the reference decodes its 65,289-symbol JPEG end-to-end,
+    Compressor.cu:385; measured cost: scripts/perf_decode.py --alphabet)."""
     if n_steps % 2:
         raise ValueError("n_steps (block_symbols) must be even")
     ngroups = streams.shape[0] // stream_rows
@@ -398,4 +406,8 @@ def decode_groups(
     out = pair.reshape(ngroups_p, half, 2, SUBLANES, LANES).reshape(
         ngroups_p * n_steps, SUBLANES, LANES
     )
+    if not translate and sym_order_dev is not None and sym_order_dev.size:
+        out = jnp.take(
+            sym_order_dev.astype(jnp.int32), out, mode="clip"
+        )
     return out[: ngroups * n_steps] if pad_g else out
