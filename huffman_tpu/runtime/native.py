@@ -62,24 +62,41 @@ def _build() -> bool:
         return False
 
 
+def _find_wheel_lib() -> Path | None:
+    """Shared object compiled into an installed wheel (setup.py builds
+    huffman_tpu/_libhtpu_native.*.so; loaded via ctypes, never imported)."""
+    pkg = Path(__file__).resolve().parents[1]
+    for cand in sorted(pkg.glob("_libhtpu_native*.so")):
+        return cand
+    return None
+
+
 def _load() -> ctypes.CDLL | None:
     global _lib, _tried
     with _lock:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        stale = (
-            _LIB.exists()
-            and _SRC.exists()
-            and _SRC.stat().st_mtime > _LIB.stat().st_mtime
-        )
-        if not _LIB.exists() or stale:
-            if not _SRC.exists() or not _build():
-                # On a failed rebuild of a stale lib, refuse to silently use
-                # the old binary — twins must stay bit-identical with Python.
+        lib_path = _LIB
+        if _SRC.exists():
+            # Source checkout: (re)build when the C++ source is newer.
+            stale = (
+                _LIB.exists() and _SRC.stat().st_mtime > _LIB.stat().st_mtime
+            )
+            if not _LIB.exists() or stale:
+                if not _build():
+                    # On a failed rebuild of a stale lib, refuse to silently
+                    # use the old binary — twins must stay bit-identical
+                    # with Python.
+                    return None
+        elif not _LIB.exists():
+            # Installed wheel: use the extension built by setup.py.
+            wheel_lib = _find_wheel_lib()
+            if wheel_lib is None:
                 return None
+            lib_path = wheel_lib
         try:
-            lib = ctypes.CDLL(str(_LIB))
+            lib = ctypes.CDLL(str(lib_path))
         except OSError:
             return None
 
