@@ -165,3 +165,27 @@ def test_stream_decompress_preserves_output_on_corruption(sample, tmp_path):
     assert cli.main(["decompress", str(bad), "-o", str(dst),
                      "--backend", "numpy"]) == 2
     assert dst.read_bytes() == b"precious"
+
+
+def test_compile_cache_env_wiring(tmp_path):
+    """HTPU_COMPILE_CACHE attaches the persistent jax compilation cache
+    before the first compute-module jit (README: cold-start costs)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, HTPU_COMPILE_CACHE=str(tmp_path / "xlacache"),
+               JAX_PLATFORMS="cpu")
+    probe = (
+        "import huffman_tpu.ops, jax\n"
+        "import os\n"
+        "assert jax.config.jax_compilation_cache_dir == "
+        "os.environ['HTPU_COMPILE_CACHE'], jax.config.jax_compilation_cache_dir\n"
+        "print('CACHE_CFG_OK')\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", probe], capture_output=True, text=True,
+        env=env, timeout=120, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "CACHE_CFG_OK" in r.stdout
