@@ -16,6 +16,8 @@ sys.path.insert(0, ".")
 
 
 def _time_amortized(jax, jnp, fn, arg, iters):
+    # Keep iters >= ~30 for sub-10ms ops: the single tunneled dispatch is
+    # ~60 ms and divides by iters (iters=5 adds a ~12 ms floor per number).
     from huffman_tpu.utils.timing import amortized_time_fn
 
     return amortized_time_fn(fn, arg, iters=iters)
@@ -52,14 +54,14 @@ def main():
 
     # --- device stages -----------------------------------------------------
     sym_dev = jnp.asarray(symbols)
-    sec = _time_amortized(jax, jnp, lambda a: histogram_scatter(a), sym_dev, 10)
+    sec = _time_amortized(jax, jnp, lambda a: histogram_scatter(a), sym_dev, 30)
     rec("histogram_scatter", sec)
-    sec = _time_amortized(jax, jnp, lambda a: histogram_matmul(a), sym_dev, 10)
+    sec = _time_amortized(jax, jnp, lambda a: histogram_matmul(a), sym_dev, 30)
     rec("histogram_matmul", sec)
 
     hist = np.bincount(symbols, minlength=MAX_SYMBOLS).astype(np.int32)
     hist_dev = jnp.asarray(hist)
-    sec = _time_amortized(jax, jnp, lambda a: device_code_lengths(a), hist_dev, 5)
+    sec = _time_amortized(jax, jnp, lambda a: device_code_lengths(a), hist_dev, 30)
     results["device_codebook_ms"] = round(sec * 1e3, 3)
     print(f"{'device_codebook (package-merge)':36s} {sec*1e3:9.3f} ms")
 
@@ -72,7 +74,7 @@ def main():
     npairs_dev = jnp.asarray(n_pairs, jnp.int32)
     sec = _time_amortized(
         jax, jnp,
-        lambda a: encode_device(a, npairs_dev, B)["streams"], pad_dev, 3,
+        lambda a: encode_device(a, npairs_dev, B)["streams"], pad_dev, 20,
     )
     rec("encode_device_fused", sec)
 
@@ -104,7 +106,7 @@ def main():
             max_len=max(cb.max_len, 1), translate=translate,
             interpret=not on_tpu,
         ),
-        s_dev, 10,
+        s_dev, 30,
     )
     rec("decode_pallas (headline)", sec)
 

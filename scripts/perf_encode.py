@@ -15,7 +15,10 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def timed(jax, jnp, fn, arg, iters=5):
+def timed(jax, jnp, fn, arg, iters=40):
+    # iters must stay >= ~30: the one tunneled dispatch costs ~60 ms and is
+    # divided by iters — at iters=5 every number carries a ~12 ms floor
+    # (this skewed the round-1 per-stage encode numbers).
     from huffman_tpu.utils.timing import amortized_time_fn
 
     return amortized_time_fn(fn, arg, iters=iters)
@@ -54,22 +57,22 @@ def main():
         print(f"{name:28s} {sec*1e3:9.3f} ms   {nbytes/sec/1e9:7.3f} GB/s")
 
     rec("hist+codebook", timed(jax, jnp, lambda a: device_code_lengths(
-        jnp.zeros(MAX_SYMBOLS, jnp.int32).at[a.reshape(-1)].add(1)), sym2, 3))
+        jnp.zeros(MAX_SYMBOLS, jnp.int32).at[a.reshape(-1)].add(1)), sym2, 30))
 
     codes, lens = enc.gather_codes(sym2, t.enc_codes, t.enc_lens, valid)
     rec("gather_codes", timed(jax, jnp, lambda a: enc.gather_codes(
-        a, t.enc_codes, t.enc_lens, valid), sym2, 5))
+        a, t.enc_codes, t.enc_lens, valid), sym2, 40))
     offsets, bits = enc.block_offsets(lens)
-    rec("block_offsets", timed(jax, jnp, lambda a: enc.block_offsets(a), lens, 5))
+    rec("block_offsets", timed(jax, jnp, lambda a: enc.block_offsets(a), lens, 40))
 
     W = B  # fused worst case
     rec("pack_blocks W=B", timed(jax, jnp, lambda a: enc.pack_blocks(
-        a, lens, offsets, W), codes, 3))
+        a, lens, offsets, W), codes, 30))
     Wt = 64
     while Wt * 32 < int(np.asarray(bits).max()):
         Wt <<= 1
     rec(f"pack_blocks W={Wt}", timed(jax, jnp, lambda a: enc.pack_blocks(
-        a, lens, offsets, Wt), codes, 3))
+        a, lens, offsets, Wt), codes, 30))
 
     slab = enc.pack_blocks(codes, lens, offsets, Wt)
     min_len = int(cb.lengths[cb.lengths > 0].min())
