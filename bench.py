@@ -100,7 +100,9 @@ def main() -> None:
         dec = cb.sym_order.astype(np.int64)[np.clip(dec, 0, cb.n_unique - 1)]
     assert np.array_equal(dec, symbols), "decode mismatch — benchmark invalid"
 
-    sec = _timed_repeat(jax, jnp, run, args[0], iters=20 if on_tpu else 1)
+    # iters must swamp the ~60 ms tunneled dispatch: at iters=20 the
+    # overhead/iters term understated the round-1 headline by ~2x.
+    sec = _timed_repeat(jax, jnp, run, args[0], iters=80 if on_tpu else 1)
     gbps = n_pairs * 2 / sec / 1e9
 
     print(

@@ -1,18 +1,21 @@
-"""Pallas TPU kernel: lane-parallel Huffman bit-packing (encode).
+"""Pallas TPU kernels: lane-parallel Huffman bit-packing (encode).
 
-The XLA formulation of the pack stage (ops/encode.pack_blocks) deposits
-each codeword's two word-parts with a scatter-add; XLA scatter runs at
-~0.1 Gelem/s on this hardware, making it the device-encode wall
-(scripts/perf_encode.py). This kernel packs the way the decoder decodes:
-one block per vector lane, a 32-bit staging word per lane, one symbol per
-step — the reference's encoder walks '0'/'1' strings per bit
-(Compressor.cu:182-313); here every step is a handful of vector shifts.
+The pack kernel packs the way the decoder decodes: one block per vector
+lane, a 32-bit staging word per lane, one symbol per step — the
+reference's encoder walks '0'/'1' strings per bit (Compressor.cu:182-313);
+here every step is a handful of vector shifts. Because max code length
+<= 32, at most ONE word completes per lane per step, so completed words
+land in a dense (step, lane) staging grid with no lane scatter.
 
-Because max code length <= 32, at most ONE word completes per lane per
-step, so completed words land in a dense (step, lane) staging grid with no
-lane scatter. A single sorted scatter (one element per COMPLETED WORD, not
-per codeword part — ~2.5x fewer, and only one scatter call) compacts the
-staging grid into the per-lane slab rows.
+Stream assembly (staging -> interleaved payload) has two formulations:
+``pack_streams_pallas`` compacts with one monotone sorted scatter driven
+by a reverse lookahead scan (2.5 ms / 16 MiB measured — the monotone index
+stream lowers to a fast path on the v5e), and
+``pack_streams_kernel_deposit`` does the deposit inside a backward-walking
+Pallas kernel (scatter-free; slower here, kept as the protocol reference
+for in-kernel deposits). Measured encode walls, in order
+(scripts/perf_encode.py, iters >= 30): the symbol->code XLA gather
+(~60 ms / 16 MiB), then everything else at single-digit ms.
 """
 
 from __future__ import annotations
@@ -124,7 +127,7 @@ def _staging(codes: jax.Array, lens: jax.Array, interpret: bool) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("words_cap", "interpret"))
-def pack_streams_pallas(
+def pack_streams_kernel_deposit(
     codes: jax.Array,     # (n_lanes, B) uint32 codewords (0 on garbage steps)
     eff_lens: jax.Array,  # (n_lanes, B) int32 PROTOCOL lengths (garbage steps
                           # carry min_len with code 0 — docs/FORMATS.md §3)
@@ -132,10 +135,15 @@ def pack_streams_pallas(
     words_cap: int,
     interpret: bool = False,
 ):
-    """Pack + interleave in one pass: Pallas packer -> backward Pallas
-    deposit -> interleaved streams, with NO intermediate slab and NO XLA
-    scatter (device twin of container/interleave.build_interleaved_streams
-    fed by the same eff lengths).
+    """Pack + interleave with the deposit done INSIDE a backward Pallas
+    kernel (no XLA scatter; device twin of
+    container/interleave.build_interleaved_streams).
+
+    Kept as an alternate formulation: measured 9.6 ms vs the sorted
+    scatter's 2.5 ms per 16 MiB on the v5e (the scatter's monotone
+    index stream lowers well; the kernel's per-step inverse-rank search
+    does not beat it). The backward-walk protocol derivation documented
+    here is load-bearing for the fused encoder's in-kernel deposit work.
 
     Key identity (docs/FORMATS.md §3): with one bit-cumsum driving both
     sides, the decoder consumes word j at the same step the encoder
@@ -186,17 +194,27 @@ def pack_streams_pallas(
 
 
 @functools.partial(jax.jit, static_argnames=("words_cap", "interpret"))
-def pack_streams_xla_deposit(
-    codes: jax.Array,
-    eff_lens: jax.Array,
-    n_real: jax.Array,
+def pack_streams_pallas(
+    codes: jax.Array,     # (n_lanes, B) uint32 codewords (0 on garbage steps)
+    eff_lens: jax.Array,  # (n_lanes, B) int32 PROTOCOL lengths (garbage steps
+                          # carry min_len with code 0 — docs/FORMATS.md §3)
+    n_real: jax.Array,    # scalar int32 real lane count
     words_cap: int,
     interpret: bool = False,
 ):
-    """Previous-generation stream assembly: Pallas packer + XLA reverse
-    lookahead scan + one sorted deposit scatter. Kept for A/B measurement —
-    the scatter runs at ~0.1 Gelem/s with one element per (lane, step),
-    which made it the fused-encode wall (scripts/perf_encode.py)."""
+    """Pack + interleave in one pass: Pallas packer -> XLA reverse
+    lookahead scan -> ONE sorted deposit scatter (device twin of
+    container/interleave.build_interleaved_streams fed by the same eff
+    lengths). 2.5 ms per 16 MiB at tight caps on the v5e — the monotone
+    index stream lowers to a fast path; round 1's 85 ms came from the
+    worst-case words_cap zero-buffer, not the scatter itself.
+
+    Key identity (docs/FORMATS.md §3): with one bit-cumsum driving both
+    sides, the decoder consumes word j at the same step the encoder
+    completes word j-2 (both fire when cum crosses 32*(j-1)), so the value
+    landing at each consumption slot is the word completed TWO FIRES LATER
+    in the same lane — a reverse lookahead scan keeps the deposit scatter
+    monotone. ``words_cap`` must bound EVERY group's body words."""
     n_lanes, B = codes.shape
     ngroups = n_lanes // GROUP_LANES
 

@@ -56,8 +56,8 @@ def test_pack_matches_numpy_twin(seed, npairs, nalpha, B):
 from huffman_tpu.constants import PRELOAD_WORDS
 from huffman_tpu.container import interleave as il
 from huffman_tpu.ops.pallas_encode import (
+    pack_streams_kernel_deposit,
     pack_streams_pallas,
-    pack_streams_xla_deposit,
 )
 
 
@@ -105,7 +105,7 @@ def test_pack_streams_matches_spec(seed, n_real, B, min_len, max_len, n_groups):
     # Exact per-group cap (the contract: cap must bound EVERY group).
     body_max = max(s.size - PRELOAD_WORDS * GROUP_LANES for s in ref)
     for cap in {max(body_max, 1), B * GROUP_LANES}:
-        for fn in (pack_streams_pallas, pack_streams_xla_deposit):
+        for fn in (pack_streams_pallas, pack_streams_kernel_deposit):
             streams, counts = fn(
                 jnp.asarray(codes), jnp.asarray(eff), jnp.int32(n_real),
                 words_cap=cap, interpret=True,
