@@ -174,10 +174,34 @@ def _encode_slab_numpy(symbols, codebook, nblocks, B):
     return slab, block_bits, lens.astype(np.int32)
 
 
+def _displacement_tables(codebook):
+    """Cached row-displacement (disp, table) for the Pallas encode gather;
+    None when the codebook exceeds 26-bit codes or does not pack."""
+    cached = codebook.__dict__.get("_disp_tables", False)
+    if cached is not False:
+        return cached
+    result = None
+    if codebook.max_len <= 26 and codebook.n_unique:
+        from ..ops.pallas_gather import build_displacement_table
+
+        packed = (codebook.lengths.astype(np.uint32) << 26) | codebook.codes.astype(
+            np.uint32
+        )
+        r = build_displacement_table(packed, codebook.lengths > 0)
+        if r is not None:
+            import jax.numpy as jnp
+
+            result = (jnp.asarray(r[0]), jnp.asarray(r[1]))
+    codebook.__dict__["_disp_tables"] = result
+    return result
+
+
 def _gather_device(symbols, codebook, n_lanes, B):
     """Shared device front half: upload padded symbols, gather (codes,
-    lens) with the packed single-gather table when the codebook allows.
-    Returns (codes, lens, valid) device arrays of shape (n_lanes, B)."""
+    lens) with the Pallas displacement-table kernel (~15x XLA's gather;
+    ops/pallas_gather.py) when the codebook packs, else the packed
+    single-gather XLA path. Returns (codes, lens, valid) device arrays of
+    shape (n_lanes, B)."""
     import jax.numpy as jnp
 
     from ..ops import encode as enc
@@ -191,7 +215,19 @@ def _gather_device(symbols, codebook, n_lanes, B):
         jnp.arange(n_lanes * B, dtype=jnp.int32).reshape(n_lanes, B)
         < symbols.size
     )
-    if t.enc_packed is not None:
+    # Mosaic path only on a real device: the interpreter would crawl
+    # through the gather tree (kernel correctness is pinned by its own
+    # interpret tests + scripts/chip_check.py).
+    disp_tables = _displacement_tables(codebook) if _use_device() else None
+    if disp_tables is not None:
+        from ..ops.pallas_gather import gather_table_pallas
+
+        packed = gather_table_pallas(sym_dev, *disp_tables)
+        codes = packed & jnp.uint32((1 << 26) - 1)
+        lens = (packed >> 26).astype(jnp.int32)
+        codes = jnp.where(valid, codes, 0)
+        lens = jnp.where(valid, lens, 0)
+    elif t.enc_packed is not None:
         codes, lens = enc.gather_codes_packed(sym_dev, t.enc_packed, valid)
     else:
         codes, lens = enc.gather_codes(sym_dev, t.enc_codes, t.enc_lens, valid)

@@ -53,14 +53,23 @@ from ..constants import MAX_CODE_LEN, MAX_SYMBOLS
 _INF = jnp.int32(1) << 30
 
 
-@functools.partial(jax.jit, static_argnames=("max_len",))
-def device_code_lengths(freqs: jax.Array, max_len: int = MAX_CODE_LEN) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("max_len", "alphabet_cap"))
+def device_code_lengths(
+    freqs: jax.Array,
+    max_len: int = MAX_CODE_LEN,
+    alphabet_cap: int | None = None,
+) -> jax.Array:
     """Optimal length-limited code lengths, entirely on device.
 
     Parameters
     ----------
     freqs : (MAX_SYMBOLS,) int32/int64 dense histogram.
     max_len : L, the length limit (compile-time constant).
+    alphabet_cap : static K; when set, every package-merge round sorts 2K
+        items instead of 2*MAX_SYMBOLS (21.7 ms -> 5.3 ms at K=8192 on the
+        v5e). The result is exact while n_unique <= K; past that the
+        lengths are WRONG — callers must check (e.g. via the fused
+        encoder's ``ok`` flag) and rerun uncapped.
 
     Returns
     -------
@@ -79,13 +88,15 @@ def device_code_lengths(freqs: jax.Array, max_len: int = MAX_CODE_LEN) -> jax.Ar
     sym_ids = jnp.arange(n_sym, dtype=jnp.int32)
     leaf_w, leaf_sym = jax.lax.sort((leaf_w, sym_ids), num_keys=2)
 
-    # Level lists: length 2*n_sym (leaves ++ packages), sentinel padded.
+    K = n_sym if alphabet_cap is None else min(alphabet_cap, n_sym)
+    leaf_w = leaf_w[:K]
+    # Level lists: length 2K (leaves ++ packages), sentinel padded.
     # flags[l][i] == True if item i of level l's list is a package.
-    pad = jnp.full((n_sym,), _INF, dtype=jnp.int32)
+    pad = jnp.full((K,), _INF, dtype=jnp.int32)
     level_flags = []
     # Level 1 list is just the leaves.
     cur_w = jnp.concatenate([leaf_w, pad])
-    cur_f = jnp.zeros((2 * n_sym,), dtype=jnp.int32)
+    cur_f = jnp.zeros((2 * K,), dtype=jnp.int32)
     level_flags.append(cur_f)
     for _ in range(max_len - 1):
         # Package adjacent pairs; any pair touching a sentinel stays a
@@ -100,7 +111,7 @@ def device_code_lengths(freqs: jax.Array, max_len: int = MAX_CODE_LEN) -> jax.Ar
         # TPU merge — no co-ranking machinery needed).
         w = jnp.concatenate([leaf_w, pk])
         f = jnp.concatenate(
-            [jnp.zeros((n_sym,), jnp.int32), jnp.ones((n_sym,), jnp.int32)]
+            [jnp.zeros((K,), jnp.int32), jnp.ones((K,), jnp.int32)]
         )
         # Stable by (weight, is_package): leaves win ties, like the
         # two-queue's shallow preference reversed; either is optimal.
@@ -111,12 +122,12 @@ def device_code_lengths(freqs: jax.Array, max_len: int = MAX_CODE_LEN) -> jax.Ar
     # (c = 2n - 2); p packages among them expand to c = 2p items one level
     # down; the leaves taken at each level are the m = c - p lightest, and
     # length(leaf rank r) = #levels whose m exceeds r.
-    lengths_by_rank = jnp.zeros((n_sym,), dtype=jnp.int32)
+    lengths_by_rank = jnp.zeros((K,), dtype=jnp.int32)
     c = jnp.maximum(2 * n - 2, 0)
-    ranks = jnp.arange(n_sym, dtype=jnp.int32)
+    ranks = jnp.arange(K, dtype=jnp.int32)
     for l in range(max_len - 1, -1, -1):
         flags = level_flags[l]
-        in_take = jnp.arange(2 * n_sym, dtype=jnp.int32) < c
+        in_take = jnp.arange(2 * K, dtype=jnp.int32) < c
         p = jnp.sum(jnp.where(in_take, flags, 0))
         m = c - p
         lengths_by_rank = lengths_by_rank + (ranks < m).astype(jnp.int32)
@@ -131,7 +142,7 @@ def device_code_lengths(freqs: jax.Array, max_len: int = MAX_CODE_LEN) -> jax.Ar
 
     # Scatter rank-order lengths back to symbol order.
     lengths = jnp.zeros((n_sym,), dtype=jnp.int32)
-    lengths = lengths.at[leaf_sym].set(lengths_by_rank)
+    lengths = lengths.at[leaf_sym[:K]].set(lengths_by_rank)
     return jnp.where(present, lengths, 0)
 
 

@@ -27,7 +27,10 @@ from .pallas_decode import GROUP_LANES, WINDOW_ROWS
 
 @functools.partial(
     jax.jit,
-    static_argnames=("B", "words_per_block", "words_cap", "max_len", "interpret"),
+    static_argnames=(
+        "B", "words_per_block", "words_cap", "max_len", "interpret",
+        "gather", "alphabet_cap",
+    ),
 )
 def encode_device(
     symbols: jax.Array,   # (n_lanes * B,) int32, zero-padded past n_pairs
@@ -37,11 +40,26 @@ def encode_device(
     words_cap: int | None = None,
     max_len: int = MAX_CODE_LEN,
     interpret: bool = False,  # Pallas interpret mode (CPU tests)
+    gather: str = "auto",     # "displacement" | "xla" | "auto"
+    alphabet_cap: int | None = 8192,
 ):
     """Fused encode. Returns a dict with the interleaved payload
     (``streams`` (ngroups, 2*1024+cap) u32 + ``counts``), the dense code
     ``lengths`` (for the container codebook header), per-block ``bits``,
-    and the decode tables (``lj_limit``, ``base``, ``sym_rank``).
+    the decode tables (``lj_limit``, ``base``, ``sym_rank``), and ``ok``.
+
+    Fast-tier structure (the measured walls, scripts/perf_encode.py): the
+    package-merge codebook sorts only ``alphabet_cap`` items per round
+    (21.7 -> 5.3 ms/16 MiB) and the symbol gather goes through an
+    ON-DEVICE row-displacement table + the Pallas lane-gather kernel
+    (61.5 -> ~4 ms) instead of XLA's per-element gather. Both tiers are
+    exact only while n_unique fits; ``ok`` is False when this run's
+    alphabet overflowed them — the caller MUST then rerun with
+    ``gather="xla", alphabet_cap=None`` (output bytes are garbage, never
+    silently wrong, and the rerun condition is data-visible). "auto"
+    resolves to the fast tier (it is valid for every alphabet the tiers
+    fit, and the JPEG-class 65k alphabets that overflow are exactly the
+    incompressible inputs the container stores raw anyway).
 
     ``words_cap`` (per-group stream words) defaults to the B*GROUP_LANES
     worst case so the program is shape-static with no host-visible scan
@@ -53,23 +71,59 @@ def encode_device(
     n_lanes = n_total // B
     W = words_per_block or B
     cap = words_cap or B * GROUP_LANES
+    if gather == "auto":
+        # Interpreted runs (CPU tests / compile checks) stay on the XLA
+        # gather: the displacement kernel's unrolled lane-gather tree is
+        # built for Mosaic, not the interpreter.
+        gather = "displacement" if (max_len <= 26 and not interpret) else "xla"
     symbols = symbols.astype(jnp.int32)
     idx = jnp.arange(n_total, dtype=jnp.int32)
     valid = idx < n_pairs
 
-    # MXU histogram: the scatter-add formulation runs at XLA-scatter speed
-    # (~0.1 Gelem/s here); the one-hot outer-product accumulation doesn't.
-    # Padding symbols route to bin 0 and are subtracted by the helper, so
-    # mask them to symbol 0 and subtract the pad count from bin 0.
+    # MXU histogram: the one-hot outer-product accumulation — as a Pallas
+    # kernel on device (transposed one-hots built in VMEM, f32 scratch
+    # accumulator; ~4x the XLA scan formulation), XLA matmuls under the
+    # interpreter. Padding symbols route to bin 0 and are subtracted.
     n_pad = jnp.sum(~valid)
-    hist = histogram_matmul(jnp.where(valid, symbols, 0))
+    masked = jnp.where(valid, symbols, 0)
+    if interpret:
+        hist = histogram_matmul(masked, chunk=4096)
+    else:
+        from .pallas_hist import histogram_pallas
+
+        hist = histogram_pallas(masked)
     hist = hist.at[0].add(-n_pad)
-    lengths = device_code_lengths(hist, max_len=max_len)
+    n_unique = jnp.sum((hist > 0).astype(jnp.int32))
+    ok = jnp.bool_(True)
+    if alphabet_cap is not None:
+        ok = ok & (n_unique <= alphabet_cap)
+    lengths = device_code_lengths(
+        hist, max_len=max_len, alphabet_cap=alphabet_cap
+    )
     enc_codes, enc_lens, lj_limit, base, sym_rank = device_canonical_tables(lengths)
 
     sym2 = symbols.reshape(n_lanes, B)
     val2 = valid.reshape(n_lanes, B)
-    if max_len <= 26:
+    if gather == "displacement":
+        if max_len > 26:
+            raise ValueError("fast-tier gather requires max_len <= 26")
+        # Rank-select (succinct-dictionary) structure: its build is fully
+        # vectorized (bit-pack + cumsum + one monotone scatter, ~1 ms) —
+        # the row-displacement FFD pack is sequential and costs ~140 ms as
+        # an in-jit loop, so it stays a HOST-side builder (container path).
+        from .pallas_gather import build_rank_select, gather_rank_select
+
+        enc_packed = (enc_lens.astype(jnp.uint32) << 26) | enc_codes
+        maskw, cums, dense, pack_ok = build_rank_select(
+            enc_packed, lengths > 0, cap=alphabet_cap or 8192
+        )
+        ok = ok & pack_ok
+        packed = gather_rank_select(
+            sym2, maskw, cums, dense, interpret=interpret
+        )
+        codes = jnp.where(val2, packed & jnp.uint32((1 << 26) - 1), 0)
+        lens = jnp.where(val2, (packed >> 26).astype(jnp.int32), 0)
+    elif max_len <= 26:
         # One gather instead of two (len << 26 | code), packed on device.
         enc_packed = (enc_lens.astype(jnp.uint32) << 26) | enc_codes
         codes, lens = enc.gather_codes_packed(sym2, enc_packed, val2)
@@ -83,8 +137,7 @@ def encode_device(
     if n_lanes % GROUP_LANES == 0:
         # Direct staging -> stream: the Pallas packer runs on the protocol
         # lengths and the interleaved payload assembles without ever
-        # materializing the per-lane slab (the slab compaction scatter was
-        # the fused encoder's single largest cost).
+        # materializing the per-lane slab.
         from .pallas_encode import pack_streams_pallas
 
         streams, counts = pack_streams_pallas(
@@ -102,6 +155,7 @@ def encode_device(
         "lj_limit": lj_limit,
         "base": base,
         "sym_rank": sym_rank,
+        "ok": ok,
     }
 
 

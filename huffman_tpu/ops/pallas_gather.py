@@ -1,0 +1,375 @@
+"""Pallas TPU kernel: symbol -> (code,len) table lookup via row displacement.
+
+XLA's generic gather runs at ~0.27 Gelem/s on the v5e (61.5 ms for a
+16 MiB input's 8.4M byte-pair symbols — by far the largest device-encode
+stage, scripts/perf_encode.py). The reference gathers per pair with one
+global-memory load (Compressor.cu:50-61); the TPU has no fast per-element
+HBM gather, but Mosaic's tile-local LANE gather is ~100 Gelem/s — if the
+table fits a few VMEM rows.
+
+Encode lookups are keyed by raw 16-bit symbol VALUE (sparse in [0,65536)),
+so the decode kernel's dense rank-indexed table doesn't apply. Instead the
+host compresses the 256x256 (hi,lo) table with classic **row
+displacement** (Tarjan/Yao sparse-table compression): rows (hi bytes) are
+first-fit packed into one slot array so that present entries never
+collide; absent entries may alias — harmless, because the codebook is
+built from the data's own histogram, so symbols outside the alphabet
+cannot occur in real steps (padding steps are masked downstream).
+
+Kernel math per symbol: ``slot = disp[sym >> 8] + (sym & 255)`` (2-row
+lane gather) then one balanced lane-gather tree over the packed table
+(<= 64 rows at the 8192-slot default). Embarrassingly parallel — no
+serial carries, so Mosaic pipelines it at full VPU issue rate.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import MAX_SYMBOLS
+from .pallas_decode import LANES, SUBLANES, _lane_gather_i32
+
+# Packed-table slot buckets (rows of 128 each): the smallest that packs
+# wins; each bucket is one kernel shape class. Multi-entry rows need the
+# load kept low-ish (a 16-entry row fails w.h.p. past ~50% occupancy), so
+# the builder escalates. Alphabets that fit none fall back to XLA.
+SLOT_BUCKETS = (2048, 4096, 8192, 16384)
+
+
+def _pack_rows(values, present, n_slots):
+    counts = present.sum(axis=1)
+    order = np.argsort(-counts, kind="stable")
+    occupied = np.zeros(n_slots, dtype=bool)
+    disp = np.zeros(256, dtype=np.int32)
+    table = np.zeros(n_slots, dtype=np.uint32)
+    max_d = n_slots - 256
+    for hi in order:
+        mask = present[hi]
+        if not mask.any():
+            continue
+        los = np.flatnonzero(mask)
+        # Candidate displacements: only those placing the first (anchor)
+        # element onto a currently-free slot — equivalent to first-fit but
+        # O(free-slot candidates) instead of O(n_slots) per row.
+        anchor = int(los[0])
+        cand = np.flatnonzero(~occupied[anchor : anchor + max_d + 1])
+        placed = False
+        # Structured alphabets (e.g. ASCII text) give many hi rows nearly
+        # identical lo-sets, so scalar first-fit degenerates; test
+        # candidate displacements in vectorized batches instead.
+        for c0 in range(0, cand.size, 512):
+            chunk = cand[c0 : c0 + 512]
+            hits = occupied[chunk[:, None] + los[None, :]].any(axis=1)
+            ok = np.flatnonzero(~hits)
+            if ok.size:
+                d = int(chunk[ok[0]])
+                occupied[d + los] = True
+                disp[hi] = d
+                table[d + los] = values[hi, los]
+                placed = True
+                break
+        if not placed:
+            return None
+    return disp, table
+
+
+def build_displacement_table(
+    values: np.ndarray,      # (65536,) uint32 payload per symbol
+    present: np.ndarray,     # (65536,) bool — symbols that can occur
+):
+    """First-fit-decreasing row displacement packing into the smallest
+    slot bucket that fits.
+
+    Returns (disp (256,) int32, table (n_slots,) uint32) or None when the
+    alphabet does not pack (caller falls back to the XLA gather).
+    """
+    values = np.asarray(values, dtype=np.uint32).reshape(256, 256)
+    present = np.asarray(present, dtype=bool).reshape(256, 256)
+    n = int(present.sum())
+    if n == 0:
+        return None
+
+    native_pack = None
+    try:
+        from ..runtime import native
+
+        if native.available():
+            native_pack = native.disp_pack
+    except ImportError:
+        pass
+
+    for n_slots in SLOT_BUCKETS:
+        # Keep multi-entry-row failure odds low: past ~45% load the dense
+        # rows stop fitting and the scan wastes time before failing.
+        if n > n_slots * 0.45 and n_slots != SLOT_BUCKETS[-1]:
+            continue
+        if n > n_slots:
+            continue
+        if native_pack is not None:
+            r = native_pack(values, present, n_slots)
+            if r is NotImplemented:  # stale library without the symbol
+                native_pack = None
+                r = _pack_rows(values, present, n_slots)
+        else:
+            r = _pack_rows(values, present, n_slots)
+        if r is not None:
+            return r
+    return None
+
+
+DEVICE_PACK_SLOTS = 16384  # static bucket for the on-device packer
+
+
+@functools.partial(jax.jit, static_argnames=("n_slots",))
+def device_displacement_pack(
+    values: jax.Array,    # (65536,) uint32 payload per symbol
+    present: jax.Array,   # (65536,) bool
+    n_slots: int = DEVICE_PACK_SLOTS,
+):
+    """Row-displacement packing ON DEVICE (for the fused all-device
+    encoder, whose codebook never visits the host).
+
+    Same first-fit-decreasing scheme as the host builder, TPU-first: the
+    per-row collision scan is ONE 1-D convolution of the occupancy vector
+    with the row pattern (the MXU eats the 256-tap correlation), and the
+    row loop is a 256-iteration fori_loop with dynamic-slice updates.
+    Returns (disp (256,) int32, table (n_slots,) uint32, ok bool) — ``ok``
+    False means the alphabet did not pack (callers rerun with the XLA
+    gather; the displacement layout itself never affects output bytes).
+    """
+    values2 = values.reshape(256, 256)
+    present2 = present.reshape(256, 256).astype(jnp.float32)
+    counts = jnp.sum(present2, axis=1).astype(jnp.int32)
+    # FFD order: densest rows first (count desc, hi asc — the sort key
+    # packs both into one int for a single-key sort).
+    order_key = (-counts) * 256 + jnp.arange(256, dtype=jnp.int32)
+    _, order = jax.lax.sort(
+        (order_key, jnp.arange(256, dtype=jnp.int32)), num_keys=1
+    )
+    max_d = n_slots - 256
+
+    def row_step(oi, state):
+        occ, disp, table, ok = state
+        hi = order[oi]
+        pat = jax.lax.dynamic_slice(present2, (hi, 0), (1, 256))  # (1,256)
+        vals = jax.lax.dynamic_slice(values2, (hi, 0), (1, 256))
+        # collisions[d] = sum_j occ[d+j] * pat[j] for d in [0, max_d]
+        # (ML "conv" is cross-correlation — no kernel flip needed.)
+        coll = jax.lax.conv_general_dilated(
+            occ.reshape(1, 1, n_slots),
+            pat.reshape(1, 1, 256),
+            window_strides=(1,),
+            padding=((0, 255),),
+            dimension_numbers=("NCH", "OIH", "NCH"),
+        ).reshape(n_slots)[: max_d + 1]
+        free = coll == 0
+        d = jnp.argmax(free).astype(jnp.int32)
+        row_ok = free.any() | (counts[hi] == 0)
+        window = jax.lax.dynamic_slice(occ, (d,), (256,))
+        occ = jax.lax.dynamic_update_slice(
+            occ, jnp.maximum(window, pat[0]), (d,)
+        )
+        tw = jax.lax.dynamic_slice(table, (d,), (256,))
+        table = jax.lax.dynamic_update_slice(
+            table, jnp.where(pat[0] > 0, vals[0], tw), (d,)
+        )
+        disp = disp.at[hi].set(d)
+        return occ, disp, table, ok & row_ok
+
+    occ0 = jnp.zeros((n_slots,), jnp.float32)
+    disp0 = jnp.zeros((256,), jnp.int32)
+    table0 = jnp.zeros((n_slots,), jnp.uint32)
+    occ, disp, table, ok = jax.lax.fori_loop(
+        0, 256, row_step, (occ0, disp0, table0, jnp.bool_(True))
+    )
+    return disp, table, ok
+
+
+def _gather_kernel(disp_ref, table_ref, sym_ref, out_ref, *, n_tiles: int):
+    """sym/out: (n_tiles, 8, 128) i32; disp: (2, 128) i32; table:
+    (rows, 128) i32."""
+    for t in range(n_tiles):
+        sym = sym_ref[t]
+        hi = (sym >> 8) & 0xFF
+        lo = sym & 0xFF
+        d = _lane_gather_i32(disp_ref[:], hi)
+        slot = jnp.clip(d + lo, 0, table_ref.shape[0] * LANES - 1)
+        out_ref[t] = _lane_gather_i32(table_ref[:], slot)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gather_table_pallas(
+    symbols: jax.Array,   # any shape, int32 values in [0, 65536)
+    disp: jax.Array,      # (256,) int32
+    table: jax.Array,     # (n_slots,) uint32, n_slots % 128 == 0 (static bucket)
+    interpret: bool = False,
+) -> jax.Array:
+    """Table lookup ``table_expanded[symbols]`` through the displacement
+    pair; returns uint32 in the symbols' shape. ~15x the XLA gather
+    (measured: 61.5 ms -> ~4 ms per 8.4M symbols on the v5e)."""
+    shape = symbols.shape
+    flat = symbols.reshape(-1).astype(jnp.int32)
+    n = flat.shape[0]
+    tile = SUBLANES * LANES
+    # Tiles per grid cell: enough to amortize pipeline startup, small
+    # enough to keep blocks modest (256 KiB in + 256 KiB out at 64). The
+    # interpreter pays per unrolled op — keep its graphs small.
+    per_cell = 8 if interpret else 64
+    chunk = tile * per_cell
+    pad = (-n) % chunk
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros(pad, jnp.int32)])
+    cells = flat.shape[0] // chunk
+    grid_sym = flat.reshape(cells * per_cell, SUBLANES, LANES)
+
+    disp_pad = jnp.zeros((2 * LANES,), jnp.int32).at[:256].set(
+        disp.astype(jnp.int32)
+    ).reshape(2, LANES)
+    rows = table.shape[0] // LANES
+    table2 = jax.lax.bitcast_convert_type(table, jnp.int32).reshape(rows, LANES)
+
+    kernel = functools.partial(_gather_kernel, n_tiles=per_cell)
+    out = pl.pallas_call(
+        kernel,
+        grid=(cells,),
+        in_specs=[
+            pl.BlockSpec((2, LANES), lambda g: (0, 0)),
+            pl.BlockSpec((rows, LANES), lambda g: (0, 0)),
+            pl.BlockSpec((per_cell, SUBLANES, LANES), lambda g: (g, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((per_cell, SUBLANES, LANES), lambda g: (g, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct(
+            (cells * per_cell, SUBLANES, LANES), jnp.int32
+        ),
+        interpret=interpret,
+    )(disp_pad, table2, grid_sym)
+    flat_out = jax.lax.bitcast_convert_type(out, jnp.uint32).reshape(-1)
+    return flat_out[:n].reshape(shape)
+
+
+# ---------------------------------------------------------------------------
+# Rank-select gather: the succinct-dictionary formulation.
+#
+# The displacement scheme above needs a sequential first-fit pack (fine on
+# the host: htpu_disp_pack ~3 ms; hopeless on device: 256 dependent rounds
+# measured ~140 ms as XLA convs). The rank-select structure removes the
+# build problem entirely: rank(sym) = cum[sym>>5] + popcount(mask[sym>>5]
+# below sym&31), then one lane-gather from the DENSE rank-ordered payload
+# table. Build = bit-pack + cumsum + one monotone scatter — fully
+# vectorized, identical on device and host.
+# ---------------------------------------------------------------------------
+
+RANK_WORDS = MAX_SYMBOLS // 32  # 2048 mask words = 16 rows of 128
+
+
+def build_rank_select(values, present, cap: int = 8192):
+    """(maskwords (2048,) uint32, cums (2048,) int32, dense (cap,) uint32,
+    ok). Works on jnp arrays (inside jit, device) and numpy arrays alike.
+    ``ok`` is False when the alphabet exceeds ``cap`` (dense ranks past the
+    table are clipped — output garbage, caller must check)."""
+    xp = jnp if isinstance(values, jax.Array) else np
+    present_i = present.astype(xp.uint32).reshape(RANK_WORDS, 32)
+    weights = (
+        xp.uint32(1) << xp.arange(32, dtype=xp.uint32)
+    )[None, :]
+    maskwords = (present_i * weights).sum(axis=1, dtype=xp.uint32)
+    counts = present_i.sum(axis=1, dtype=xp.int32)
+    cums = xp.cumsum(counts, dtype=xp.int32) - counts  # exclusive
+    n = counts.sum(dtype=xp.int32)
+    # rank[sym] = exclusive prefix count of present over all symbols
+    rank = xp.cumsum(present.astype(xp.int32)) - present.astype(xp.int32)
+    if xp is jnp:
+        # Monotone scatter-ADD: every symbol (present or not) routes to
+        # min(rank, cap-1) — absent symbols contribute value 0 at a valid
+        # in-order position (an end-of-table sentinel between real indices
+        # would silently corrupt sorted scatters on real TPUs; CLAUDE.md).
+        dense = jnp.zeros((cap,), jnp.uint32).at[
+            jnp.minimum(rank, cap - 1)
+        ].add(
+            jnp.where(present, values.astype(jnp.uint32), 0),
+            mode="drop", indices_are_sorted=True,
+        )
+        ok = n <= cap
+    else:
+        dense = np.zeros((cap,), np.uint32)
+        sel = np.flatnonzero(present)[:cap]
+        dense[rank[sel]] = values[sel]
+        ok = bool(n <= cap)
+    return maskwords, cums, dense, ok
+
+
+def _rank_gather_kernel(mask_ref, cum_ref, dense_ref, sym_ref, out_ref,
+                       *, n_tiles: int):
+    """mask/cum: (16, 128) i32; dense: (cap/128, 128) i32;
+    sym/out: (n_tiles, 8, 128) i32."""
+    cap = dense_ref.shape[0] * LANES
+    for t in range(n_tiles):
+        sym = sym_ref[t]
+        w = (sym >> 5) & (RANK_WORDS - 1)
+        b = sym & 31
+        mw = _lane_gather_i32(mask_ref[:], w)
+        cm = _lane_gather_i32(cum_ref[:], w)
+        below = pltpu.bitcast(
+            (jnp.uint32(1) << b.astype(jnp.uint32)) - jnp.uint32(1), jnp.int32
+        )
+        rank = cm + jax.lax.population_count(mw & below)
+        out_ref[t] = _lane_gather_i32(
+            dense_ref[:], jnp.clip(rank, 0, cap - 1)
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gather_rank_select(
+    symbols: jax.Array,    # any shape, int32 values in [0, 65536)
+    maskwords: jax.Array,  # (2048,) uint32
+    cums: jax.Array,       # (2048,) int32
+    dense: jax.Array,      # (cap,) uint32, cap % 128 == 0 (static bucket)
+    interpret: bool = False,
+) -> jax.Array:
+    """Succinct-dictionary table lookup; returns uint32 in symbols' shape.
+    Valid only for symbols marked present in the build (absent symbols
+    alias arbitrary entries — the codebook derives from the data's own
+    histogram, so they cannot occur on real steps)."""
+    shape = symbols.shape
+    flat = symbols.reshape(-1).astype(jnp.int32)
+    n = flat.shape[0]
+    tile = SUBLANES * LANES
+    per_cell = 8 if interpret else 64
+    chunk = tile * per_cell
+    pad = (-n) % chunk
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros(pad, jnp.int32)])
+    cells = flat.shape[0] // chunk
+    grid_sym = flat.reshape(cells * per_cell, SUBLANES, LANES)
+
+    mask2 = jax.lax.bitcast_convert_type(maskwords, jnp.int32).reshape(
+        RANK_WORDS // LANES, LANES
+    )
+    cum2 = cums.astype(jnp.int32).reshape(RANK_WORDS // LANES, LANES)
+    rows = dense.shape[0] // LANES
+    dense2 = jax.lax.bitcast_convert_type(dense, jnp.int32).reshape(rows, LANES)
+
+    kernel = functools.partial(_rank_gather_kernel, n_tiles=per_cell)
+    out = pl.pallas_call(
+        kernel,
+        grid=(cells,),
+        in_specs=[
+            pl.BlockSpec((RANK_WORDS // LANES, LANES), lambda g: (0, 0)),
+            pl.BlockSpec((RANK_WORDS // LANES, LANES), lambda g: (0, 0)),
+            pl.BlockSpec((rows, LANES), lambda g: (0, 0)),
+            pl.BlockSpec((per_cell, SUBLANES, LANES), lambda g: (g, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((per_cell, SUBLANES, LANES), lambda g: (g, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct(
+            (cells * per_cell, SUBLANES, LANES), jnp.int32
+        ),
+        interpret=interpret,
+    )(mask2, cum2, dense2, grid_sym)
+    flat_out = jax.lax.bitcast_convert_type(out, jnp.uint32).reshape(-1)
+    return flat_out[:n].reshape(shape)

@@ -133,6 +133,11 @@ def _load() -> ctypes.CDLL | None:
         lib.htpu_interleave_decode.restype = ctypes.c_int
         lib.htpu_histogram.argtypes = [p8, i64, pi64]
         lib.htpu_histogram.restype = ctypes.c_int
+        try:
+            lib.htpu_disp_pack.argtypes = [p32, p8, i64, pi32, p32]
+            lib.htpu_disp_pack.restype = ctypes.c_int
+        except AttributeError:  # older prebuilt lib
+            pass
         _lib = lib
         return _lib
 
@@ -240,6 +245,31 @@ def encode_blocks(
     if rc != 0:
         raise NativeError("htpu_encode_blocks", rc)
     return slab, block_bits, lens_out.reshape(n_lanes, B)
+
+
+def disp_pack(values: np.ndarray, present: np.ndarray, n_slots: int):
+    """Native twin of ops/pallas_gather._pack_rows (identical first-fit
+    order, bit-identical tables). Returns (disp, table) or None when the
+    alphabet does not pack into n_slots."""
+    lib = _load()
+    assert lib is not None
+    if not hasattr(lib, "htpu_disp_pack"):
+        return NotImplemented
+    values = np.ascontiguousarray(values, dtype=np.uint32).reshape(-1)
+    pres = np.ascontiguousarray(present, dtype=np.uint8).reshape(-1)
+    if values.size != MAX_SYMBOLS or pres.size != MAX_SYMBOLS:
+        raise ValueError("values/present must be dense MAX_SYMBOLS tables")
+    disp = np.zeros(256, dtype=np.int32)
+    table = np.zeros(n_slots, dtype=np.uint32)
+    rc = lib.htpu_disp_pack(
+        _ptr(values, ctypes.c_uint32), _ptr(pres, ctypes.c_uint8),
+        n_slots, _ptr(disp, ctypes.c_int32), _ptr(table, ctypes.c_uint32),
+    )
+    if rc == -4:  # HTPU_E_OVERFLOW: does not pack
+        return None
+    if rc != 0:
+        raise NativeError("htpu_disp_pack", rc)
+    return disp, table
 
 
 def interleave_build(slab: np.ndarray, eff_lens: np.ndarray, n_real: int) -> list[np.ndarray]:

@@ -816,3 +816,70 @@ HTPU_API int htpu_encode_blocks(const uint16_t* symbols, int64_t n_pairs,
   });
   return err.load();
 }
+
+// ---------------------------------------------------------------------------
+// Row-displacement table packing for the Pallas encode gather
+// (ops/pallas_gather.py). First-fit-decreasing over hi-byte rows with a
+// bitset collision test; the numpy twin is the reference implementation.
+// Returns HTPU_OK and fills disp/table on success, HTPU_E_OVERFLOW when the
+// alphabet does not pack into n_slots.
+// ---------------------------------------------------------------------------
+HTPU_API int htpu_disp_pack(const uint32_t* values,   // 65536 payloads
+                            const uint8_t* present,   // 65536 flags
+                            int64_t n_slots,          // multiple of 64
+                            int32_t* disp,            // 256 out
+                            uint32_t* table) {        // n_slots out
+  if (!values || !present || !disp || !table || n_slots < 512 ||
+      (n_slots & 63))
+    return HTPU_E_ARGS;
+  const int64_t occ_words = n_slots / 64;
+  std::vector<uint64_t> occ((size_t)occ_words + 5, 0);  // +5: window slack
+  std::vector<int> order(256);
+  std::vector<int> counts(256, 0);
+  for (int hi = 0; hi < 256; ++hi) {
+    int c = 0;
+    for (int lo = 0; lo < 256; ++lo) c += present[hi * 256 + lo] ? 1 : 0;
+    counts[hi] = c;
+    order[hi] = hi;
+  }
+  std::sort(order.begin(), order.end(), [&](int a, int b) {
+    return counts[a] != counts[b] ? counts[a] > counts[b] : a < b;
+  });
+  std::memset(table, 0, (size_t)n_slots * 4);
+  std::memset(disp, 0, 256 * 4);
+  const int64_t max_d = n_slots - 256;
+  for (int oi = 0; oi < 256; ++oi) {
+    int hi = order[oi];
+    if (!counts[hi]) continue;
+    uint64_t pat[4] = {0, 0, 0, 0};
+    int anchor = -1;
+    for (int lo = 0; lo < 256; ++lo)
+      if (present[hi * 256 + lo]) {
+        pat[lo >> 6] |= 1ull << (lo & 63);
+        if (anchor < 0) anchor = lo;
+      }
+    int64_t found = -1;
+    for (int64_t d = 0; d <= max_d && found < 0; ++d) {
+      // cheap anchor pre-test, then the full 4-word window AND
+      int64_t ab = d + anchor;
+      if (occ[ab >> 6] & (1ull << (ab & 63))) continue;
+      int64_t q = d >> 6, r = d & 63;
+      bool hit = false;
+      for (int i = 0; i < 4 && !hit; ++i) {
+        uint64_t w = r ? ((occ[q + i] >> r) | (occ[q + i + 1] << (64 - r)))
+                       : occ[q + i];
+        hit = (w & pat[i]) != 0;
+      }
+      if (!hit) found = d;
+    }
+    if (found < 0) return HTPU_E_OVERFLOW;
+    disp[hi] = (int32_t)found;
+    for (int lo = 0; lo < 256; ++lo)
+      if (present[hi * 256 + lo]) {
+        int64_t s = found + lo;
+        occ[s >> 6] |= 1ull << (s & 63);
+        table[s] = values[hi * 256 + lo];
+      }
+  }
+  return HTPU_OK;
+}

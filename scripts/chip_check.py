@@ -67,21 +67,57 @@ def main() -> int:
     assert np.array_equal(ref, out), "pallas slab pack != XLA pack on chip"
     print("2. Pallas slab packer matches XLA on chip")
 
-    # 3/4. fused encoder vs host pipeline
+    # 3. fused encoder vs host pipeline. This corpus has ~57k unique pairs
+    # — past the fast tier (alphabet_cap / rank-select dictionary), so the
+    # default run must FLAG ok=False and the documented fallback rerun
+    # (gather="xla", alphabet_cap=None) must match the host pipeline.
     padded = np.zeros(n_lanes * B, np.int32)
     padded[: symbols.size] = symbols
-    r = encode_device(jnp.asarray(padded), jnp.asarray(symbols.size, jnp.int32), B, max_len=18)
-    fl = np.asarray(r["lengths"]).astype(np.uint8)
-    cb2 = Codebook.from_lengths(fl)
-    slab, _, l2 = bf._encode_slab_numpy(symbols.astype(np.uint16), cb2, n_lanes, B)
-    min_len = int(fl[fl > 0].min())
-    eff = il.effective_lengths(l2, symbols.size, min_len, n_lanes, B)
-    refs = il.build_streams(slab, eff, n_real)
-    counts = np.asarray(r["counts"])
-    streams = np.asarray(r["streams"])
-    for g, rs in enumerate(refs):
-        assert counts[g] == rs.size and np.array_equal(streams[g, : counts[g]], rs), g
-    print("3. fused all-device encoder matches host pipeline on chip")
+    pad_dev = jnp.asarray(padded)
+    np_dev = jnp.asarray(symbols.size, jnp.int32)
+    r = encode_device(pad_dev, np_dev, B, max_len=18)
+    assert not bool(r["ok"]), "fast tier silently accepted a 57k alphabet"
+    r = encode_device(
+        pad_dev, np_dev, B, max_len=18, gather="xla", alphabet_cap=None
+    )
+    assert bool(r["ok"])
+
+    def check_fused(r, syms, tag):
+        fl = np.asarray(r["lengths"]).astype(np.uint8)
+        cb2 = Codebook.from_lengths(fl)
+        nr = (syms.size + B - 1) // B
+        nl = (nr + GROUP_LANES - 1) // GROUP_LANES * GROUP_LANES
+        slab, _, l2 = bf._encode_slab_numpy(syms.astype(np.uint16), cb2, nl, B)
+        min_len = int(fl[fl > 0].min())
+        eff = il.effective_lengths(l2, syms.size, min_len, nl, B)
+        refs = il.build_streams(slab, eff, nr)
+        counts = np.asarray(r["counts"])
+        streams = np.asarray(r["streams"])
+        for g, rs in enumerate(refs):
+            assert counts[g] == rs.size and np.array_equal(
+                streams[g, : counts[g]], rs
+            ), (tag, g)
+
+    check_fused(r, symbols, "xla-tier")
+    print("3. fused encoder (xla tier, flagged fallback) matches host on chip")
+
+    # 4. the FAST tier (rank-select gather + capped codebook + Pallas
+    # histogram) on an in-tier alphabet, bit-identical to the host.
+    from huffman_tpu.utils.benchmark import silesia_like
+
+    d2 = silesia_like(4 << 20, seed=11)
+    syms2 = d2[: d2.size & ~1].view("<u2").astype(np.int32)
+    nr2 = (syms2.size + B - 1) // B
+    nl2 = (nr2 + GROUP_LANES - 1) // GROUP_LANES * GROUP_LANES
+    p2 = np.zeros(nl2 * B, np.int32)
+    p2[: syms2.size] = syms2
+    r2 = encode_device(
+        jnp.asarray(p2), jnp.asarray(syms2.size, jnp.int32), B, max_len=18
+    )
+    assert bool(r2["ok"]), "fast tier rejected a ~4k alphabet"
+    check_fused(r2, syms2, "fast-tier")
+    print("4. fused encoder FAST tier (rank-select + capped codebook + "
+          "Pallas histogram) matches host on chip")
 
     print("CHIP_CHECK_OK")
     return 0

@@ -91,3 +91,60 @@ def test_device_interleave_matches_numpy_sim():
     for g, rs in enumerate(ref):
         assert counts[g] == rs.size
         assert np.array_equal(streams[g, : counts[g]], rs)
+
+
+def test_fused_displacement_tier_matches_host(tmp_path=None):
+    """gather='displacement' (on-device table pack + Pallas lane gather)
+    must produce the identical streams to the host pipeline, with ok=True
+    for an in-tier alphabet."""
+    B = 16
+    symbols = _case(13, 9000, 400)
+    npairs = symbols.size
+    n_real = (npairs + B - 1) // B
+    n_lanes = (n_real + GROUP_LANES - 1) // GROUP_LANES * GROUP_LANES
+    padded = np.zeros(n_lanes * B, np.int32)
+    padded[:npairs] = symbols
+    r = encode_device(
+        padded, np.int32(npairs), B, interpret=True, gather="displacement",
+        max_len=18,
+    )
+    assert bool(r["ok"])
+    cb = Codebook.from_lengths(np.asarray(r["lengths"]))
+    slab, _, lens = bf._encode_slab_numpy(symbols, cb, n_lanes, B)
+    min_len = int(cb.lengths[cb.lengths > 0].min())
+    eff = il.effective_lengths(lens, npairs, min_len, n_lanes, B)
+    ref = il.build_interleaved_streams(slab, eff, n_real)
+    streams, counts = np.asarray(r["streams"]), np.asarray(r["counts"])
+    for g, rs in enumerate(ref):
+        assert counts[g] == rs.size
+        assert np.array_equal(streams[g, : counts[g]], rs)
+
+
+def test_fused_alphabet_cap_overflow_flags_not_silent():
+    """An alphabet past alphabet_cap must set ok=False (the caller reruns
+    with the uncapped/xla tiers)."""
+    B = 16
+    rng = np.random.default_rng(17)
+    symbols = rng.integers(0, MAX_SYMBOLS, 40000).astype(np.uint16)  # ~30k unique
+    npairs = symbols.size
+    n_real = (npairs + B - 1) // B
+    n_lanes = (n_real + GROUP_LANES - 1) // GROUP_LANES * GROUP_LANES
+    padded = np.zeros(n_lanes * B, np.int32)
+    padded[:npairs] = symbols
+    r = encode_device(
+        padded, np.int32(npairs), B, interpret=True, alphabet_cap=1024,
+        max_len=18,
+    )
+    assert not bool(r["ok"])
+    # and the uncapped rerun is exact
+    r2 = encode_device(
+        padded, np.int32(npairs), B, interpret=True, alphabet_cap=None,
+        gather="xla", max_len=18,
+    )
+    assert bool(r2["ok"])
+    got = np.asarray(r2["lengths"])
+    hist = np.bincount(symbols, minlength=MAX_SYMBOLS)
+    # sane optimal code: Kraft-complete over the real alphabet
+    k = np.sum(np.where(got > 0, 2.0 ** (-got.astype(np.float64)), 0))
+    assert abs(k - 1.0) < 1e-9
+    assert (got[hist > 0] > 0).all() and (got[hist == 0] == 0).all()

@@ -1,0 +1,75 @@
+"""Displacement-table gather: packing properties, native/numpy twin
+identity, and the Pallas kernel (interpreter) against a plain table
+lookup."""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+from huffman_tpu.constants import MAX_SYMBOLS
+from huffman_tpu.ops import pallas_gather as pg
+
+
+def _alphabet(rng, n, structured=False):
+    if structured:
+        # ASCII-pair-like: dense identical lo-sets across many hi rows (the
+        # adversarial case for row displacement).
+        los = rng.choice(96, size=min(n // 64 + 1, 96), replace=False) + 32
+        his = np.arange(32, 32 + 64)
+        syms = (his[:, None] * 256 + los[None, :]).reshape(-1)[:n]
+    else:
+        syms = rng.choice(MAX_SYMBOLS, size=n, replace=False)
+    present = np.zeros(MAX_SYMBOLS, dtype=bool)
+    present[syms] = True
+    return present
+
+
+@pytest.mark.parametrize(
+    "seed,n,structured", [(0, 500, False), (1, 4000, False), (2, 3000, True), (3, 1, False)]
+)
+def test_pack_resolves_every_present_symbol(seed, n, structured):
+    rng = np.random.default_rng(seed)
+    present = _alphabet(rng, n, structured)
+    values = rng.integers(0, 1 << 32, MAX_SYMBOLS, dtype=np.uint64).astype(np.uint32)
+    r = pg.build_displacement_table(values, present)
+    assert r is not None
+    disp, table = r
+    syms = np.flatnonzero(present)
+    slots = disp[syms >> 8] + (syms & 255)
+    assert (slots >= 0).all() and (slots < table.size).all()
+    np.testing.assert_array_equal(table[slots], values[syms])
+
+
+def test_pack_native_matches_numpy_twin():
+    rng = np.random.default_rng(9)
+    present = _alphabet(rng, 2500, structured=True)
+    values = rng.integers(0, 1 << 32, MAX_SYMBOLS, dtype=np.uint64).astype(np.uint32)
+    r = pg.build_displacement_table(values, present)
+    assert r is not None
+    disp, table = r
+    tw = pg._pack_rows(
+        values.reshape(256, 256), present.reshape(256, 256), table.size
+    )
+    assert tw is not None
+    np.testing.assert_array_equal(disp, tw[0])
+    np.testing.assert_array_equal(table, tw[1])
+
+
+def test_empty_alphabet_returns_none():
+    assert pg.build_displacement_table(
+        np.zeros(MAX_SYMBOLS, np.uint32), np.zeros(MAX_SYMBOLS, bool)
+    ) is None
+
+
+def test_kernel_matches_table_lookup():
+    rng = np.random.default_rng(4)
+    present = _alphabet(rng, 1200, structured=False)
+    values = rng.integers(0, 1 << 32, MAX_SYMBOLS, dtype=np.uint64).astype(np.uint32)
+    disp, table = pg.build_displacement_table(values, present)
+    syms = np.flatnonzero(present)
+    data = rng.choice(syms, size=5000).astype(np.int32)
+    out = pg.gather_table_pallas(
+        jnp.asarray(data), jnp.asarray(disp), jnp.asarray(table), interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(out), values[data])
