@@ -1,27 +1,22 @@
 """Encode-pipeline stage attribution on the chip.
 
-Times each fused-encoder stage separately (gather, offsets, pack scatter,
-interleave) with data-dependent amortized repeats, to find where
-encode_device's wall time goes.
+Times each fused-encoder stage separately with amortized in-jit repeats
+(iters >= 30 — the ~60 ms tunneled dispatch divides by iters; iters=5 left
+a ~12 ms floor under every round-1 number).
+
+Stages (the fused pipeline, ops/fused.py): Pallas MXU histogram -> capped
+package-merge codebook -> rank-select gather -> Pallas pack + scatter
+deposit; plus the legacy XLA formulations for comparison.
 
 Usage: python scripts/perf_encode.py [size_mb]
 """
 
+import functools
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, ".")
-
-
-def timed(jax, jnp, fn, arg, iters=40):
-    # iters must stay >= ~30: the one tunneled dispatch costs ~60 ms and is
-    # divided by iters — at iters=5 every number carries a ~12 ms floor
-    # (this skewed the round-1 per-stage encode numbers).
-    from huffman_tpu.utils.timing import amortized_time_fn
-
-    return amortized_time_fn(fn, arg, iters=iters)
 
 
 def main():
@@ -29,13 +24,17 @@ def main():
     import jax.numpy as jnp
 
     from huffman_tpu.codebook import Codebook
-    from huffman_tpu.constants import MAX_SYMBOLS
+    from huffman_tpu.constants import GROUP_LANES, MAX_SYMBOLS
     from huffman_tpu.ops import encode as enc
-    from huffman_tpu.ops import pallas_decode as pd
+    from huffman_tpu.ops import pallas_encode as pe
+    from huffman_tpu.ops import pallas_gather as pg
     from huffman_tpu.ops.device_codebook import device_code_lengths
-    from huffman_tpu.ops.device_interleave import build_streams_device
+    from huffman_tpu.ops.fused import encode_device
+    from huffman_tpu.ops.histogram import histogram_matmul
+    from huffman_tpu.ops.pallas_hist import histogram_pallas
     from huffman_tpu.ops.tables import device_tables
     from huffman_tpu.utils.benchmark import silesia_like
+    from huffman_tpu.utils.timing import amortized_time_fn
 
     size_mb = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     B = 512
@@ -44,45 +43,86 @@ def main():
     symbols = data[: nbytes & ~1].view("<u2").astype(np.int32)
     n_pairs = symbols.size
     n_real = (n_pairs + B - 1) // B
-    n_lanes = (n_real + pd.GROUP_LANES - 1) // pd.GROUP_LANES * pd.GROUP_LANES
+    n_lanes = (n_real + GROUP_LANES - 1) // GROUP_LANES * GROUP_LANES
 
-    cb = Codebook.from_frequencies(np.bincount(symbols, minlength=MAX_SYMBOLS))
+    freqs = np.bincount(symbols, minlength=MAX_SYMBOLS)
+    cb = Codebook.from_frequencies(freqs)
     t = device_tables(cb)
     padded = np.zeros(n_lanes * B, np.int32)
     padded[:n_pairs] = symbols
-    sym2 = jnp.asarray(padded).reshape(n_lanes, B)
+    sym_flat = jax.device_put(jnp.asarray(symbols))
+    sym2 = jax.device_put(jnp.asarray(padded).reshape(n_lanes, B))
+    pad_dev = jax.device_put(jnp.asarray(padded))
     valid = (jnp.arange(n_lanes * B, dtype=jnp.int32) < n_pairs).reshape(n_lanes, B)
+    hist_dev = jax.device_put(jnp.asarray(freqs.astype(np.int32)))
 
     def rec(name, sec):
-        print(f"{name:28s} {sec*1e3:9.3f} ms   {nbytes/sec/1e9:7.3f} GB/s")
+        print(f"{name:36s} {sec*1e3:9.3f} ms   {nbytes/sec/1e9:7.3f} GB/s",
+              flush=True)
 
-    rec("hist+codebook", timed(jax, jnp, lambda a: device_code_lengths(
-        jnp.zeros(MAX_SYMBOLS, jnp.int32).at[a.reshape(-1)].add(1)), sym2, 30))
+    rec("histogram (Pallas MXU)",
+        amortized_time_fn(histogram_pallas, sym_flat, 40))
+    rec("histogram (XLA matmul c=4096)",
+        amortized_time_fn(functools.partial(histogram_matmul, chunk=4096),
+                          sym_flat, 30))
+    rec("codebook package-merge (full)",
+        amortized_time_fn(functools.partial(device_code_lengths, max_len=18),
+                          hist_dev, 20))
+    rec("codebook package-merge (K=8192)",
+        amortized_time_fn(
+            functools.partial(device_code_lengths, max_len=18,
+                              alphabet_cap=8192),
+            hist_dev, 30))
 
-    codes, lens = enc.gather_codes(sym2, t.enc_codes, t.enc_lens, valid)
-    rec("gather_codes", timed(jax, jnp, lambda a: enc.gather_codes(
-        a, t.enc_codes, t.enc_lens, valid), sym2, 40))
-    offsets, bits = enc.block_offsets(lens)
-    rec("block_offsets", timed(jax, jnp, lambda a: enc.block_offsets(a), lens, 40))
+    enc_packed_np = (cb.lengths.astype(np.uint32) << 26) | cb.codes.astype(np.uint32)
+    mw, cm, dn, ok = pg.build_rank_select(enc_packed_np, cb.lengths > 0)
+    assert ok
+    mw, cm, dn = map(lambda a: jax.device_put(jnp.asarray(a)), (mw, cm, dn))
+    rec("gather rank-select (Pallas)",
+        amortized_time_fn(lambda a: pg.gather_rank_select(a, mw, cm, dn),
+                          sym_flat, 40))
+    r = pg.build_displacement_table(enc_packed_np, cb.lengths > 0)
+    if r is not None:
+        disp, table = map(lambda a: jax.device_put(jnp.asarray(a)), r)
+        rec("gather displacement (Pallas)",
+            amortized_time_fn(lambda a: pg.gather_table_pallas(a, disp, table),
+                              sym_flat, 40))
+    enc_packed = jax.device_put(jnp.asarray(enc_packed_np))
+    rec("gather (XLA per-element)",
+        amortized_time_fn(
+            lambda a: enc.gather_codes_packed(a, enc_packed, valid)[0],
+            sym2, 20))
 
-    W = B  # fused worst case
-    rec("pack_blocks W=B", timed(jax, jnp, lambda a: enc.pack_blocks(
-        a, lens, offsets, W), codes, 30))
-    Wt = 64
-    while Wt * 32 < int(np.asarray(bits).max()):
-        Wt <<= 1
-    rec(f"pack_blocks W={Wt}", timed(jax, jnp, lambda a: enc.pack_blocks(
-        a, lens, offsets, Wt), codes, 30))
-
-    slab = enc.pack_blocks(codes, lens, offsets, Wt)
+    codes, lens = enc.gather_codes_packed(sym2, enc_packed, valid)
     min_len = int(cb.lengths[cb.lengths > 0].min())
     eff = jnp.where(valid, lens, min_len).astype(jnp.int32)
-    rec("interleave (cap=B*1024)", timed(jax, jnp, lambda a: build_streams_device(
-        a, eff, jnp.int32(n_real), words_cap=B * pd.GROUP_LANES)[0], slab, 3))
-    cap = (int(np.asarray(bits).sum()) // 32 // max(n_lanes // pd.GROUP_LANES, 1) + 4096)
-    cap = (cap + 127) // 128 * 128
-    rec(f"interleave (cap={cap})", timed(jax, jnp, lambda a: build_streams_device(
-        a, eff, jnp.int32(n_real), words_cap=cap)[0], slab, 3))
+    bits = np.asarray(jnp.sum(eff.reshape(-1, GROUP_LANES, B), axis=(1, 2)))
+    cap = (int(bits.max() // 32) + 4096 + 8191) // 8192 * 8192
+    codes = jax.device_put(codes)
+    eff = jax.device_put(eff)
+    rec(f"pack+deposit (scatter, cap={cap})",
+        amortized_time_fn(
+            lambda a: pe.pack_streams_pallas(
+                a, eff, jnp.int32(n_real), words_cap=cap)[0],
+            codes, 30))
+    rec("pack+deposit (kernel deposit)",
+        amortized_time_fn(
+            lambda a: pe.pack_streams_kernel_deposit(
+                a, eff, jnp.int32(n_real), words_cap=cap)[0],
+            codes, 30))
+
+    npairs_dev = jnp.asarray(n_pairs, jnp.int32)
+    rec("FUSED fast tier (tight cap)",
+        amortized_time_fn(
+            lambda a: encode_device(a, npairs_dev, B, words_cap=cap,
+                                    max_len=18)["streams"],
+            pad_dev, 30))
+    rec("FUSED xla tier (tight cap)",
+        amortized_time_fn(
+            lambda a: encode_device(a, npairs_dev, B, words_cap=cap,
+                                    max_len=18, gather="xla",
+                                    alphabet_cap=None)["streams"],
+            pad_dev, 20))
 
 
 if __name__ == "__main__":
