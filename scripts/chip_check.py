@@ -15,6 +15,15 @@ doesn't. This script re-proves, on the chip, that:
 4. the fused all-device encoder matches the host pipeline.
 
 Exit code 0 with CHIP_CHECK_OK on success. Part of the /verify recipe.
+
+``--sweep [N]`` additionally runs the randomized configuration sweep
+(VERDICT r1 #4): N seeds x {alphabet 2 / 600 / ~4k / ~8k / 20k-rank-tier,
+max_code_len 12 / 18 / 32 / unlimited, min_len edges, odd group counts,
+multi 1/2/3, exact words_cap} container roundtrips — every config must be
+byte-identical device-vs-host AND decode back bit-exact on the chip —
+plus the reference-format device payload (pack_stream's sorted scatter,
+previously never chip-checked). Set HTPU_COMPILE_CACHE to amortize the
+per-shape Mosaic compiles across invocations.
 """
 
 import sys
@@ -123,5 +132,150 @@ def main() -> int:
     return 0
 
 
+def _sweep_data(rng, kind, nbytes):
+    """Corpus generators keyed by alphabet tier."""
+    if kind == "alpha2":
+        return (rng.integers(0, 2, nbytes) + 97).astype(np.uint8).tobytes()
+    if kind == "text600":
+        a = rng.choice(65536, 300, replace=False).astype(np.uint16)
+        p = 1.0 / np.arange(1, 301) ** 1.3
+        p /= p.sum()
+        return rng.choice(a, nbytes // 2, p=p).astype("<u2").tobytes()
+    if kind == "skew":  # near-Fibonacci skew: deep natural code lengths
+        n = 40
+        a = rng.choice(65536, n, replace=False).astype(np.uint16)
+        w = np.array([1.45 ** -i for i in range(n)])
+        w /= w.sum()
+        return rng.choice(a, nbytes // 2, p=w).astype("<u2").tobytes()
+    if kind == "silesia4k":
+        from huffman_tpu.utils.benchmark import silesia_like
+
+        return silesia_like(nbytes, seed=int(rng.integers(1 << 30))).tobytes()
+    if kind == "wide8k":
+        a = rng.choice(65536, 8000, replace=False).astype(np.uint16)
+        return rng.choice(a, nbytes // 2).astype("<u2").tobytes()
+    if kind == "rank20k":
+        # > GATHER_MAX_ALPHABET unique symbols but still compressible:
+        # exercises rank-mode decode + the in-jit rank->symbol translation.
+        a = rng.choice(65536, 20000, replace=False).astype(np.uint16)
+        p = 1.0 / np.arange(1, 20001) ** 0.65
+        p /= p.sum()
+        return rng.choice(a, nbytes // 2, p=p).astype("<u2").tobytes()
+    raise ValueError(kind)
+
+
+def sweep(n_seeds: int = 3) -> int:
+    import jax
+
+    if jax.devices()[0].platform == "cpu":
+        print("SKIP: no accelerator visible (ran on CPU)")
+        return 0
+    import huffman_tpu as ht
+    from huffman_tpu.container import reference_format as rf
+
+    # (kind, max_code_len, nbytes). Sizes stay small: the sweep's value is
+    # configuration breadth, not volume; one seed of each shape class pays
+    # the Mosaic compile, later seeds re-use it.
+    configs = [
+        ("alpha2", 18, 1 << 20),      # min_len=1 edge, 2-symbol alphabet
+        ("text600", 12, 1 << 20),     # tight limit forces rebalancing
+        ("text600", 18, 2 << 20),
+        ("skew", 32, 1 << 20),        # deep codes at the max_len=32 edge
+        ("skew", None, 1 << 20),      # unlimited: natural depth > 18
+        ("silesia4k", 18, 2 << 20),   # displacement-gather fast tier
+        ("wide8k", 18, 2 << 20),      # in-kernel translate boundary
+        ("rank20k", 18, 2 << 20),     # rank tier + in-jit translation
+        ("text600", 18, 97 << 10),    # odd tail, tiny input, 1 group
+    ]
+    total = 0
+    failures = 0
+    for seed in range(n_seeds):
+        rng = np.random.default_rng(1000 + seed)
+        for kind, mcl, nbytes in configs:
+            data = _sweep_data(rng, kind, nbytes)
+            kw = {"max_code_len": mcl}
+            dev = ht.compress(data, backend="jax", **kw)
+            host = ht.compress(data, backend="numpy", **kw)
+            okc = dev == host
+            back = ht.decompress(dev)
+            okd = back == data
+            total += 1
+            if not (okc and okd):
+                failures += 1
+                print(f"FAIL seed={seed} kind={kind} mcl={mcl}: "
+                      f"container={'ok' if okc else 'MISMATCH'} "
+                      f"decode={'ok' if okd else 'MISMATCH'}")
+            else:
+                print(f"ok   seed={seed} kind={kind} mcl={mcl} "
+                      f"({len(data)} B -> {len(dev)} B)", flush=True)
+        # reference-format device payload: the pack_stream sorted scatter
+        data = _sweep_data(rng, "text600", 1 << 20)
+        dev_blob = rf.compress(data, device_payload=True)
+        host_blob = rf.compress(data)
+        total += 1
+        if dev_blob != host_blob:
+            failures += 1
+            print(f"FAIL seed={seed} pack_stream: reference payload mismatch")
+        else:
+            print(f"ok   seed={seed} pack_stream reference payload", flush=True)
+
+    # decode multi sweep on one config (multi is a kernel ILP knob, not a
+    # format property): direct kernel runs at multi 1 and 3 vs symbols.
+    from huffman_tpu.codebook import Codebook
+    from huffman_tpu.constants import GROUP_LANES, MAX_SYMBOLS
+    from huffman_tpu.container import block_format as bf
+    from huffman_tpu.container import interleave as il
+    from huffman_tpu.ops import pallas_decode as pd
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    B = 512
+    data = _sweep_data(rng, "silesia4k", 4 << 20)
+    symbols = np.frombuffer(data[: len(data) & ~1], dtype="<u2").astype(np.int32)
+    n_pairs = symbols.size
+    n_real = (n_pairs + B - 1) // B
+    n_lanes = (n_real + GROUP_LANES - 1) // GROUP_LANES * GROUP_LANES
+    cb = Codebook.from_frequencies(np.bincount(symbols, minlength=MAX_SYMBOLS))
+    slab, _, lens = bf._encode_slab_numpy(symbols.astype(np.uint16), cb, n_lanes, B)
+    min_len = int(cb.lengths[cb.lengths > 0].min())
+    eff = il.effective_lengths(lens, n_pairs, min_len, n_lanes, B)
+    streams = il.build_streams(slab, eff, n_real)
+    stacked, _ = il.pad_streams(streams)
+    ngroups = n_lanes // GROUP_LANES
+    rows_per = stacked.shape[0] // ngroups
+    symtab, sym_rows, translate = pd.build_symtab(cb.sym_order)
+    meta = np.zeros((ngroups, 4), dtype=np.int32)
+    for g in range(ngroups):
+        meta[g, 0] = max(0, min(GROUP_LANES, n_real - g * GROUP_LANES))
+    args = (
+        jnp.asarray(stacked), jnp.asarray(cb.lj_limit),
+        jnp.asarray((cb.base & 0xFFFFFFFF).astype(np.uint32)),
+        jnp.asarray(symtab), jnp.asarray(meta),
+    )
+    for multi in (1, 2, 3):
+        out = np.asarray(pd.decode_groups(
+            *args, B, rows_per, sym_rows, max_len=max(cb.max_len, 1),
+            translate=translate, min_len=min_len, multi=multi,
+        ))
+        dec = out.reshape(ngroups, B, 8, 128).transpose(0, 2, 3, 1).reshape(-1)[:n_pairs]
+        total += 1
+        if not np.array_equal(dec, symbols):
+            failures += 1
+            print(f"FAIL decode multi={multi}")
+        else:
+            print(f"ok   decode multi={multi}", flush=True)
+
+    print(f"sweep: {total - failures}/{total} configs clean")
+    if failures:
+        return 1
+    print("CHIP_SWEEP_OK")
+    return 0
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    rc = main()
+    if rc == 0 and "--sweep" in sys.argv:
+        i = sys.argv.index("--sweep")
+        n = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 and sys.argv[i + 1].isdigit() else 3
+        rc = sweep(n)
+    sys.exit(rc)
