@@ -41,6 +41,7 @@ version 2 tail:
 
 from __future__ import annotations
 
+import functools
 import zlib
 
 import numpy as np
@@ -59,12 +60,19 @@ _HEADER_BYTES = 32
 _COUNTS_BYTES = 4 * MAX_CODE_LEN
 
 def _bucket_words(w: int) -> int:
-    """Round slab width up to a coarse bucket to bound jit recompiles."""
+    """Round slab width up to a coarse bucket to bound jit recompiles.
+    Quarter-octave steps (2^k x {1, 1.25, 1.5, 1.75}): pow2 buckets wasted
+    up to ~2x of stream buffer and its D2H through the ~50 MB/s tunnel;
+    four classes per octave keeps the waste under 25% at the same
+    recompile order of magnitude."""
     w = max(w, 8)
-    bucket = 8
-    while bucket < w:
-        bucket <<= 1
-    return bucket
+    p = 8
+    while p * 2 < w:
+        p <<= 1
+    for m in (4, 5, 6, 7, 8):
+        if w <= p * m // 4:
+            return p * m // 4
+    return p * 2
 
 
 def _codebook_to_header(cb: Codebook) -> bytes:
@@ -252,29 +260,107 @@ def _encode_slab_jax(symbols, codebook, nblocks, B):
     return np.asarray(slab), block_bits_np, np.asarray(lens)
 
 
+_front_cache: dict = {}
+
+
+def _encode_front_jit(
+    sym_dev, n_pairs, min_len, n_real, tables, n_lanes, B, use_disp, interpret
+):
+    """Phase 1 in ONE program: gather + protocol lengths + per-group word
+    counts. Split out so the tunnel pays one dispatch, not one per jnp op
+    (~60 ms each here — eager chains dominated the container's wall time).
+    The jitted callable is cached per (arity, flags) so repeat compresses
+    reuse XLA's own shape-keyed cache underneath."""
+    import jax
+    import jax.numpy as jnp
+
+    key = (len(tables), use_disp, interpret)
+    front = _front_cache.get(key)
+    if front is None:
+
+        @functools.partial(jax.jit, static_argnames=("n_lanes", "B"))
+        def front(bytes_dev, n_pairs, min_len, n_real, tables, *, n_lanes, B):
+            from ..constants import GROUP_LANES
+            from ..ops.histogram import bytes_to_symbols_device
+
+            # Bytes -> byte-pair symbols on device: the host ships half the
+            # bytes through the tunnel (measured ~57 MB/s up on this setup
+            # — the transfer, not the kernels, bounds container wall time).
+            sym_dev = bytes_to_symbols_device(bytes_dev).reshape(n_lanes, B)
+            valid = (
+                jnp.arange(n_lanes * B, dtype=jnp.int32).reshape(n_lanes, B)
+                < n_pairs
+            )
+            if use_disp:
+                from ..ops.pallas_gather import gather_table_pallas
+
+                disp, table = tables
+                packed = gather_table_pallas(
+                    sym_dev, disp, table, interpret=interpret
+                )
+                codes = jnp.where(valid, packed & jnp.uint32((1 << 26) - 1), 0)
+                lens = jnp.where(valid, (packed >> 26).astype(jnp.int32), 0)
+            else:
+                from ..ops import encode as enc
+
+                if len(tables) == 1:
+                    codes, lens = enc.gather_codes_packed(
+                        sym_dev, tables[0], valid
+                    )
+                else:
+                    codes, lens = enc.gather_codes(sym_dev, *tables, valid)
+            eff = jnp.where(valid, lens, min_len).astype(jnp.int32)
+            lane = jnp.arange(n_lanes, dtype=jnp.int32)
+            bits = jnp.where(lane < n_real, jnp.sum(eff, axis=1), 0)
+            gwords = jnp.sum((bits >> 5).reshape(-1, GROUP_LANES), axis=1)
+            return codes, eff, gwords
+
+        _front_cache[key] = front
+
+    return front(
+        sym_dev, n_pairs, min_len, n_real, tables, n_lanes=n_lanes, B=B
+    )
+
+
 def _encode_streams_jax(symbols, codebook, n_lanes, B, n_real):
     """Device encode straight to interleaved streams (gather -> Pallas
-    pack -> staging->stream; no slab, one D2H of the trimmed payload)."""
+    pack -> staging->stream; no slab). Exactly two device programs and two
+    D2H transfers: the tiny per-group word counts (to size the stream
+    buffer statically) and the trimmed payload."""
     import jax.numpy as jnp
 
     from ..ops.pallas_encode import pack_streams_pallas
-    from ..constants import GROUP_LANES
+    from ..ops.tables import device_tables
 
-    codes, lens, valid = _gather_device(symbols, codebook, n_lanes, B)
+    interpret = not _use_device()
+    disp_tables = _displacement_tables(codebook) if not interpret else None
+    if disp_tables is not None:
+        tables = disp_tables
+        use_disp = True
+    else:
+        t = device_tables(codebook)
+        tables = (t.enc_packed,) if t.enc_packed is not None else (
+            t.enc_codes, t.enc_lens
+        )
+        use_disp = False
+
+    padded = np.zeros(n_lanes * B * 2, dtype=np.uint8)
+    raw = np.ascontiguousarray(symbols, dtype="<u2").view(np.uint8)
+    padded[: raw.size] = raw
+    bytes_dev = jnp.asarray(padded)
     present = codebook.lengths[codebook.lengths > 0]
     min_len = int(present.min()) if present.size else 1
-    eff = jnp.where(valid, lens, min_len).astype(jnp.int32)
 
-    # Exact per-group word bound from the bit totals (one tiny D2H), so
-    # the padded stream buffer (and its D2H) stays near the payload size.
-    bits = np.asarray(jnp.sum(eff, axis=1)).astype(np.int64)
-    bits[n_real:] = 0
-    gwords = (bits >> 5).reshape(-1, GROUP_LANES).sum(axis=1)
-    cap = _bucket_words(max(int(gwords.max(initial=1)), 128))
+    codes, eff, gwords = _encode_front_jit(
+        bytes_dev, jnp.asarray(symbols.size, jnp.int32),
+        jnp.asarray(min_len, jnp.int32), jnp.asarray(n_real, jnp.int32),
+        tables, n_lanes, B, use_disp, interpret,
+    )
+    cap = _bucket_words(max(int(np.asarray(gwords).max(initial=1)), 128))
 
     streams, counts = pack_streams_pallas(
         codes, eff, jnp.asarray(n_real, jnp.int32), words_cap=cap,
-        interpret=not _use_device(),
+        interpret=interpret,
     )
     counts = np.asarray(counts)
     streams = np.asarray(streams)
