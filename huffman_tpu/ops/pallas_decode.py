@@ -68,10 +68,12 @@ assert WINDOW_ROWS == SUBLANES + 1  # max refill slot is 127 + GROUP_LANES
 GATHER_MAX_ALPHABET = 8192      # in-kernel rank->symbol translation limit
                                 # (32 packed table rows; larger alphabets
                                 # emit ranks for the caller to translate)
-DEFAULT_MULTI = 2               # independent groups interleaved per kernel
+DEFAULT_MULTI = 3               # independent groups interleaved per kernel
                                 # instance: the per-chain step is a serial
-                                # dependency chain, so a second chain fills
-                                # the VPU's latency bubbles
+                                # dependency chain, so extra chains fill the
+                                # VPU's latency bubbles (measured r2 on 33
+                                # groups/32 MiB: multi 2/3/4 = 9.6/10.8/9.2
+                                # GB/s — 3 wins; 4 pays VMEM + pad waste)
 
 # Perf-ablation knobs (scripts/perf_decode.py): comma-separated names in
 # HTPU_ABLATE disable kernel pieces AT TRACE TIME to attribute step cost.
