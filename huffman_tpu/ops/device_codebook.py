@@ -98,6 +98,11 @@ def device_code_lengths(
     cur_w = jnp.concatenate([leaf_w, pad])
     cur_f = jnp.zeros((2 * K,), dtype=jnp.int32)
     level_flags.append(cur_f)
+    # The is-package flag rides as the key's low bit (weights < 2^30, so
+    # w<<1|f fits uint32): one single-key sort per round instead of a
+    # two-key sort, with identical ordering — leaves win weight ties,
+    # like the two-queue's shallow preference reversed; either is optimal.
+    leaf_keys = leaf_w.astype(jnp.uint32) << 1
     for _ in range(max_len - 1):
         # Package adjacent pairs; any pair touching a sentinel stays a
         # sentinel (checked BEFORE the add — sentinel + sentinel would
@@ -109,14 +114,11 @@ def device_code_lengths(
         # Merge sorted leaves with sorted packages: one XLA sort of the
         # concatenation (both halves already sorted; sort is the idiomatic
         # TPU merge — no co-ranking machinery needed).
-        w = jnp.concatenate([leaf_w, pk])
-        f = jnp.concatenate(
-            [jnp.zeros((K,), jnp.int32), jnp.ones((K,), jnp.int32)]
+        keys = jax.lax.sort(
+            jnp.concatenate([leaf_keys, (pk.astype(jnp.uint32) << 1) | 1])
         )
-        # Stable by (weight, is_package): leaves win ties, like the
-        # two-queue's shallow preference reversed; either is optimal.
-        cur_w, cur_f = jax.lax.sort((w, f), num_keys=2)
-        level_flags.append(cur_f)
+        cur_w = (keys >> 1).astype(jnp.int32)
+        level_flags.append((keys & 1).astype(jnp.int32))
 
     # Backward counting pass: take the first c items of the deepest list
     # (c = 2n - 2); p packages among them expand to c = 2p items one level

@@ -5,11 +5,11 @@ one-hot outer products but pays scan-iteration overhead and materializes
 per-chunk one-hots through HBM (15.6 ms / 16 MiB measured at its best
 chunk size). Here the (256, C) TRANSPOSED one-hots are built directly in
 VMEM — symbols naturally sit along lanes, class ids along sublanes, so no
-transpose exists anywhere — and a (256,C)x(256,C)->(256,256) lane-
-contracting matmul accumulates into a VMEM f32 scratch across grid cells.
-f32 accumulation is exact: counts are bounded by the input size < 2^24...
-actually by guarding at 2^24 pairs per kernel launch; the wrapper splits
-larger inputs and sums int32 partials.
+transpose exists anywhere — as int8, and an int8 lane-contracting
+(256,C)x(256,C)->(256,256) matmul accumulates into a VMEM int32 scratch
+across grid cells (int8 measured 1.45x the bf16 variant; int32
+accumulation is exact to 2^31 counts, beyond the container's 4 GiB
+bound, so no input splitting is needed).
 
 Replaces the reference's global-memory atomicAdd loop
 (Compressor.cu:38-48); a TPU has no atomics — the MXU IS the accumulator.
@@ -27,8 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..constants import MAX_SYMBOLS
 from .pallas_decode import LANES
 
-_C = 2048             # symbols per grid cell
-_F32_EXACT = 1 << 24  # max exact integer count in f32
+_C = 4096  # symbols per grid cell
 
 
 def _hist_kernel(sym_ref, out_ref, acc_ref, *, cells: int):
@@ -43,34 +42,24 @@ def _hist_kernel(sym_ref, out_ref, acc_ref, *, cells: int):
     hi = jnp.broadcast_to(sym >> 8, (256, _C)) == ids
     lo = jnp.broadcast_to(sym & 0xFF, (256, _C)) == ids
     acc_ref[:] += jax.lax.dot_general(
-        hi.astype(jnp.bfloat16),
-        lo.astype(jnp.bfloat16),
+        hi.astype(jnp.int8),
+        lo.astype(jnp.int8),
         (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.int32,
     )
 
     @pl.when(g == cells - 1)
     def _():
-        out_ref[:] = acc_ref[:].astype(jnp.int32)
+        out_ref[:] = acc_ref[:]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def histogram_pallas(symbols: jax.Array, interpret: bool = False) -> jax.Array:
-    """Dense (MAX_SYMBOLS,) int32 histogram of int32 byte-pair symbols.
-    Splits past 2^24 symbols so the f32 accumulator stays exact."""
+    """Dense (MAX_SYMBOLS,) int32 histogram of int32 byte-pair symbols."""
     flat = symbols.reshape(-1).astype(jnp.int32)
     n = flat.shape[0]
     if n == 0:
         return jnp.zeros((MAX_SYMBOLS,), jnp.int32)
-    out = None
-    for s0 in range(0, max(n, 1), _F32_EXACT):
-        part = _hist_call(flat[s0 : min(s0 + _F32_EXACT, n)], interpret)
-        out = part if out is None else out + part
-    return out
-
-
-def _hist_call(flat: jax.Array, interpret: bool) -> jax.Array:
-    n = flat.shape[0]
     pad = (-n) % _C
     if pad:
         # Padding routes to symbol 0; corrected below.
@@ -84,7 +73,7 @@ def _hist_call(flat: jax.Array, interpret: bool) -> jax.Array:
         in_specs=[pl.BlockSpec((_C // LANES, LANES), lambda g: (g, 0))],
         out_specs=pl.BlockSpec((256, 256), lambda g: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((256, 256), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((256, 256), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((256, 256), jnp.int32)],
         interpret=interpret,
     )(grid_sym)
     hist = out.reshape(MAX_SYMBOLS)
