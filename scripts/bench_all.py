@@ -35,6 +35,7 @@ def main():
     from huffman_tpu.ops.device_codebook import device_code_lengths
     from huffman_tpu.ops.fused import encode_device
     from huffman_tpu.ops.histogram import histogram_matmul, histogram_scatter
+    from huffman_tpu.ops.pallas_hist import histogram_pallas
     from huffman_tpu.runtime import native
     from huffman_tpu.utils.benchmark import silesia_like
 
@@ -54,6 +55,8 @@ def main():
 
     # --- device stages -----------------------------------------------------
     sym_dev = jnp.asarray(symbols)
+    sec = _time_amortized(jax, jnp, lambda a: histogram_pallas(a), sym_dev, 40)
+    rec("histogram_pallas_int8", sec)
     sec = _time_amortized(jax, jnp, lambda a: histogram_scatter(a), sym_dev, 30)
     rec("histogram_scatter", sec)
     sec = _time_amortized(jax, jnp, lambda a: histogram_matmul(a), sym_dev, 30)
@@ -61,6 +64,11 @@ def main():
 
     hist = np.bincount(symbols, minlength=MAX_SYMBOLS).astype(np.int32)
     hist_dev = jnp.asarray(hist)
+    sec = _time_amortized(
+        jax, jnp, lambda a: device_code_lengths(a, max_len=18, alphabet_cap=8192),
+        hist_dev, 30)
+    print(f"{'device_codebook (K=8192 cap)':36s} {sec*1e3:9.3f} ms")
+    results["device_codebook_capped_ms"] = round(sec * 1e3, 3)
     sec = _time_amortized(jax, jnp, lambda a: device_code_lengths(a), hist_dev, 30)
     results["device_codebook_ms"] = round(sec * 1e3, 3)
     print(f"{'device_codebook (package-merge)':36s} {sec*1e3:9.3f} ms")
@@ -74,7 +82,8 @@ def main():
     npairs_dev = jnp.asarray(n_pairs, jnp.int32)
     sec = _time_amortized(
         jax, jnp,
-        lambda a: encode_device(a, npairs_dev, B)["streams"], pad_dev, 20,
+        lambda a: encode_device(a, npairs_dev, B, max_len=18)["streams"],
+        pad_dev, 30,
     )
     rec("encode_device_fused", sec)
 
