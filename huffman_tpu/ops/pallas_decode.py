@@ -65,9 +65,10 @@ assert GROUP_LANES == _constants.GROUP_LANES, (
     "constants.GROUP_LANES must track the kernel group size"
 )
 assert WINDOW_ROWS == SUBLANES + 1  # max refill slot is 127 + GROUP_LANES
-GATHER_MAX_ALPHABET = 8192      # in-kernel rank->symbol translation limit
-                                # (32 packed table rows; larger alphabets
-                                # emit ranks for the caller to translate)
+GATHER_MAX_ALPHABET = 16384     # in-kernel rank->symbol translation limit
+                                # (64 packed table rows; larger alphabets
+                                # emit ranks and the caller translates with
+                                # an in-jit XLA gather — sym_order_dev)
 DEFAULT_MULTI = 3               # independent groups interleaved per kernel
                                 # instance: the per-chain step is a serial
                                 # dependency chain, so extra chains fill the

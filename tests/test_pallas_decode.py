@@ -118,3 +118,17 @@ def test_kernel_rank_mode_device_translate():
     )
     dec = out.reshape(ngroups, B, 8, 128).transpose(0, 2, 3, 1).reshape(-1)[:n_pairs]
     np.testing.assert_array_equal(dec, symbols.astype(np.int32))
+
+
+def test_kernel_wide_alphabet_in_kernel_tier():
+    """8K-16K alphabets decode with the in-kernel 64-row packed symbol
+    table (previously rank mode + host/XLA translation)."""
+    B = 32
+    # skew=False + enough symbols so >8192 of the 12K alphabet realize
+    symbols, n_pairs, cb, streams, _ = _setup(8, 1024, B, 12000, skew=False)
+    assert cb.n_unique > 8192
+    symtab, sym_rows, tr = pd.build_symtab(cb.sym_order)
+    assert tr and sym_rows == 64
+    out, ngroups = _run_kernel(cb, streams, 1024, B, translate=True)
+    dec = out.reshape(ngroups, B, 8, 128).transpose(0, 2, 3, 1).reshape(-1)[:n_pairs]
+    np.testing.assert_array_equal(dec, symbols.astype(np.int32))
