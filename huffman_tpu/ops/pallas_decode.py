@@ -410,7 +410,26 @@ def decode_groups(
         ngroups_p * n_steps, SUBLANES, LANES
     )
     if not translate and sym_order_dev is not None and sym_order_dev.size:
-        out = jnp.take(
-            sym_order_dev.astype(jnp.int32), out, mode="clip"
-        )
+        if interpret:
+            out = jnp.take(sym_order_dev.astype(jnp.int32), out, mode="clip")
+        else:
+            # Dense packed-16 Pallas gather: ~16x XLA's per-element gather
+            # for the 16K-64K-alphabet translation pass.
+            from .pallas_gather import gather_u16_pallas
+
+            n = sym_order_dev.shape[0]
+            n_pack = (n + 1) // 2
+            rows = 1
+            while rows * LANES < n_pack:
+                rows <<= 1
+            so = sym_order_dev.astype(jnp.uint32)
+            even = jnp.zeros((rows * LANES,), jnp.uint32).at[: (n + 1) // 2].set(
+                so[0::2]
+            )
+            odd = jnp.zeros((rows * LANES,), jnp.uint32).at[: n // 2].set(
+                so[1::2]
+            )
+            out = gather_u16_pallas(
+                jnp.clip(out, 0, n - 1), even | (odd << 16)
+            )
     return out[: ngroups * n_steps] if pad_g else out

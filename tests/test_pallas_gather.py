@@ -73,3 +73,19 @@ def test_kernel_matches_table_lookup():
         jnp.asarray(data), jnp.asarray(disp), jnp.asarray(table), interpret=True
     )
     np.testing.assert_array_equal(np.asarray(out), values[data])
+
+
+def test_gather_u16_matches_table():
+    rng = np.random.default_rng(6)
+    n = 40000
+    vals = rng.integers(0, 65536, n, dtype=np.int64).astype(np.uint32)
+    n_pack = (n + 1) // 2
+    rows = 1
+    while rows * 128 < n_pack:
+        rows <<= 1
+    even = np.zeros(rows * 128, np.uint32); even[: (n + 1) // 2] = vals[0::2]
+    odd = np.zeros(rows * 128, np.uint32); odd[: n // 2] = vals[1::2]
+    packed = even | (odd << 16)
+    idx = rng.integers(0, n, 5000).astype(np.int32)
+    out = pg.gather_u16_pallas(jnp.asarray(idx), jnp.asarray(packed), interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), vals[idx].astype(np.int32))
