@@ -25,7 +25,6 @@ Prints one JSON line per metric (decode first, then encode), each
 
 import json
 import sys
-import time
 
 import numpy as np
 
@@ -48,7 +47,6 @@ def main() -> None:
     from huffman_tpu.container import interleave as il
     from huffman_tpu.ops import pallas_decode as pd
     from huffman_tpu.utils.benchmark import silesia_like
-    from huffman_tpu.utils.timing import time_fn
 
     on_tpu = jax.devices()[0].platform != "cpu"
     size_mb = int(sys.argv[1]) if len(sys.argv) > 1 else 32

@@ -33,7 +33,6 @@ from .pallas_decode import (
     PRELOAD_WORDS,
     SUBLANES,
     WINDOW_ROWS,
-    _lane_gather_i32,
 )
 
 
