@@ -50,9 +50,9 @@ def encode_device(
 
     Fast-tier structure (the measured walls, scripts/perf_encode.py): the
     package-merge codebook sorts only ``alphabet_cap`` items per round
-    (21.7 -> 5.3 ms/16 MiB) and the symbol gather goes through an
-    ON-DEVICE row-displacement table + the Pallas lane-gather kernel
-    (61.5 -> ~4 ms) instead of XLA's per-element gather. Both tiers are
+    (21.7 -> 4.3 ms/16 MiB) and the symbol gather goes through an
+    ON-DEVICE rank-select dictionary + the Pallas lane-gather kernel
+    (61.5 -> 3.7 ms) instead of XLA's per-element gather. Both tiers are
     exact only while n_unique fits; ``ok`` is False when this run's
     alphabet overflowed them — the caller MUST then rerun with
     ``gather="xla", alphabet_cap=None`` (output bytes are garbage, never
@@ -202,3 +202,38 @@ def roundtrip_device(symbols: jax.Array, n_pairs: jax.Array, B: int,
     )
     ok = jnp.all(jnp.where(valid, out == sym2, True))
     return ok, jnp.sum(r["counts"])
+
+
+def encode_device_auto(
+    symbols: jax.Array,
+    n_pairs,
+    B: int,
+    max_len: int = MAX_CODE_LEN,
+    words_cap: int | None = None,
+    interpret: bool = False,
+    ladder: tuple[int | None, ...] = (8192, 16384, None),
+):
+    """``encode_device`` with the documented fallback ladder applied.
+
+    Runs the fast tier (rank-select gather + capped codebook) at each cap
+    in ``ladder`` until a run reports ``ok``; a ``None`` rung means the
+    exact xla tier (any alphabet). Each rung past the first costs one
+    extra device round trip, which only wide-alphabet inputs (rare for
+    compressible data; the incompressible ones store raw anyway) ever pay.
+    Returns the first valid result dict.
+    """
+    r = None
+    for cap in ladder:
+        kw = dict(
+            words_cap=words_cap, max_len=max_len, interpret=interpret,
+        )
+        if cap is None:
+            kw.update(gather="xla", alphabet_cap=None)
+        else:
+            if max_len > 26:
+                continue  # fast tier requires 26-bit codes
+            kw.update(alphabet_cap=cap)
+        r = encode_device(symbols, n_pairs, B, **kw)
+        if bool(r["ok"]):
+            return r
+    return r

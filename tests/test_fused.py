@@ -148,3 +148,28 @@ def test_fused_alphabet_cap_overflow_flags_not_silent():
     k = np.sum(np.where(got > 0, 2.0 ** (-got.astype(np.float64)), 0))
     assert abs(k - 1.0) < 1e-9
     assert (got[hist > 0] > 0).all() and (got[hist == 0] == 0).all()
+
+
+def test_encode_device_auto_ladder():
+    """The ladder retries capped tiers and lands on a valid result for
+    both in-tier and wide alphabets."""
+    from huffman_tpu.ops.fused import encode_device_auto
+
+    B = 16
+    for seed, nalpha in ((21, 400), (22, 12000)):
+        symbols = _case(seed, 30000, nalpha, zipf=False)
+        npairs = symbols.size
+        n_real = (npairs + B - 1) // B
+        n_lanes = (n_real + GROUP_LANES - 1) // GROUP_LANES * GROUP_LANES
+        padded = np.zeros(n_lanes * B, np.int32)
+        padded[:npairs] = symbols
+        r = encode_device_auto(
+            padded, np.int32(npairs), B, max_len=18, interpret=True,
+            ladder=(1024, None),  # force a retry for the wide case
+        )
+        assert bool(r["ok"])
+        got = np.asarray(r["lengths"])
+        hist = np.bincount(symbols, minlength=MAX_SYMBOLS)
+        assert (got[hist > 0] > 0).all()
+        k = np.sum(np.where(got > 0, 2.0 ** (-got.astype(np.float64)), 0))
+        assert abs(k - 1.0) < 1e-9
