@@ -217,3 +217,110 @@ def compress_decompress_step(mesh: Mesh, axis: str = "dp"):
         return fn(symbols, valid, enc_codes, enc_lens, lj, base, sym_order, max_len.reshape(1))
 
     return step
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "axis", "B", "words_cap", "max_len", "alphabet_cap",
+        "interpret",
+    ),
+)
+def distributed_encode_streams(
+    mesh: Mesh,
+    symbols: jax.Array,   # (n_lanes * B,) int32 padded; lanes shard on axis 0
+    n_pairs: jax.Array,   # scalar int32, replicated
+    B: int,
+    words_cap: int,
+    max_len: int = 18,
+    alphabet_cap: int | None = 8192,
+    interpret: bool = False,
+    axis: str = "dp",
+):
+    """The FLAGSHIP fused encode, sharded over the mesh: per-shard Pallas
+    histogram + ``psum`` (the all-reduce rides ICI/DCN), the capped
+    package-merge codebook and rank-select dictionary built from the
+    replicated histogram on every device, then each device gathers + packs
+    its own group shard into interleaved streams (embarrassingly parallel;
+    group counts are all-gathered for ordered container assembly).
+
+    Per-device lane count must be a multiple of GROUP_LANES. Returns
+    (streams (ngroups, 2048+cap') u32 sharded on groups, counts (ngroups,)
+    replicated, lengths (MAX_SYMBOLS,) replicated, ok).
+    """
+    from ..constants import GROUP_LANES
+    from ..ops.device_codebook import (
+        device_canonical_tables,
+        device_code_lengths,
+    )
+    from ..ops.histogram import histogram_matmul
+    from ..ops.pallas_encode import pack_streams_pallas
+    from ..ops.pallas_gather import build_rank_select, gather_rank_select
+
+    n_total = symbols.shape[0]
+    n_lanes = n_total // B
+    n_dev = mesh.shape[axis]
+    lanes_loc = n_lanes // n_dev
+    if lanes_loc * n_dev != n_lanes or lanes_loc % GROUP_LANES:
+        raise ValueError(
+            "n_lanes must split into whole GROUP_LANES groups per device"
+        )
+
+    def local(sym_flat, n_pairs):
+        i = jax.lax.axis_index(axis)
+        lane0 = i * lanes_loc
+        idx = lane0 * B + jnp.arange(lanes_loc * B, dtype=jnp.int32)
+        valid = idx < n_pairs
+        masked = jnp.where(valid, sym_flat, 0)
+        if interpret:
+            h_loc = histogram_matmul(masked, chunk=4096)
+        else:
+            from ..ops.pallas_hist import histogram_pallas
+
+            h_loc = histogram_pallas(masked)
+        h_loc = h_loc.at[0].add(-jnp.sum(~valid))
+        hist_all = jax.lax.psum(h_loc, axis)
+
+        n_unique = jnp.sum((hist_all > 0).astype(jnp.int32))
+        ok = jnp.bool_(True)
+        if alphabet_cap is not None:
+            ok = ok & (n_unique <= alphabet_cap)
+        lengths = device_code_lengths(
+            hist_all, max_len=max_len, alphabet_cap=alphabet_cap
+        )
+        enc_codes, enc_lens, *_ = device_canonical_tables(lengths)
+
+        sym2 = sym_flat.reshape(lanes_loc, B)
+        val2 = valid.reshape(lanes_loc, B)
+        if interpret or max_len > 26:
+            enc_packed = (enc_lens.astype(jnp.uint32) << 26) | enc_codes
+            codes, lens = enc.gather_codes_packed(sym2, enc_packed, val2)
+        else:
+            enc_packed = (enc_lens.astype(jnp.uint32) << 26) | enc_codes
+            maskw, cums, dense, pack_ok = build_rank_select(
+                enc_packed, lengths > 0, cap=alphabet_cap or 8192
+            )
+            ok = ok & pack_ok
+            packed = gather_rank_select(sym2, maskw, cums, dense)
+            codes = jnp.where(val2, packed & jnp.uint32((1 << 26) - 1), 0)
+            lens = jnp.where(val2, (packed >> 26).astype(jnp.int32), 0)
+
+        min_len = jnp.minimum(
+            jnp.min(jnp.where(lengths > 0, lengths, 33)), 32
+        )
+        eff = jnp.where(val2, lens, min_len).astype(jnp.int32)
+        n_real_loc = jnp.clip((n_pairs + B - 1) // B - lane0, 0, lanes_loc)
+        streams, counts = pack_streams_pallas(
+            codes, eff, n_real_loc, words_cap=words_cap, interpret=interpret
+        )
+        all_counts = jax.lax.all_gather(counts, axis, tiled=True)
+        return streams, all_counts, lengths, ok
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P()),
+        out_specs=(P(axis, None), P(), P(), P()),
+        check_vma=False,
+    )
+    return fn(symbols, n_pairs)

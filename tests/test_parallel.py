@@ -128,3 +128,42 @@ def test_distributed_pallas_decode_groups():
     mesh = pp.data_mesh()
     shard = np.asarray(pp.distributed_decode_groups(mesh, *args, **kw))
     np.testing.assert_array_equal(single, shard)
+
+
+def test_distributed_encode_streams_matches_host():
+    """The flagship fused encode sharded over the 8-device mesh: group
+    shards must reproduce the host interleave bit for bit, with the psum
+    histogram driving one replicated codebook."""
+    import numpy as np
+    from huffman_tpu.codebook import Codebook
+    from huffman_tpu.constants import MAX_SYMBOLS
+    from huffman_tpu.container import block_format as bf
+    from huffman_tpu.container import interleave as il
+    from huffman_tpu.ops import pallas_decode as pd
+    from huffman_tpu.parallel import pipeline as pp
+
+    rng = np.random.default_rng(31)
+    B = 16
+    ngroups = 8  # one group per device
+    n_lanes = ngroups * pd.GROUP_LANES
+    n_pairs = n_lanes * B - 77
+    alpha = rng.choice(MAX_SYMBOLS, 200, replace=False)
+    symbols = rng.choice(alpha, n_pairs).astype(np.uint16)
+    padded = np.zeros(n_lanes * B, np.int32)
+    padded[:n_pairs] = symbols
+
+    mesh = pp.data_mesh()
+    streams, counts, lengths, ok = pp.distributed_encode_streams(
+        mesh, jnp.asarray(padded), jnp.asarray(n_pairs, jnp.int32),
+        B, words_cap=B * pd.GROUP_LANES, max_len=18, interpret=True,
+    )
+    assert bool(ok)
+    cb = Codebook.from_lengths(np.asarray(lengths).astype(np.uint8))
+    slab, _, lens = bf._encode_slab_numpy(symbols, cb, n_lanes, B)
+    min_len = int(cb.lengths[cb.lengths > 0].min())
+    eff = il.effective_lengths(lens, n_pairs, min_len, n_lanes, B)
+    ref = il.build_interleaved_streams(slab, eff, (n_pairs + B - 1) // B)
+    streams, counts = np.asarray(streams), np.asarray(counts)
+    for g, rs in enumerate(ref):
+        assert counts[g] == rs.size, g
+        np.testing.assert_array_equal(streams[g, : rs.size], rs, err_msg=str(g))
