@@ -300,6 +300,14 @@ def _encode_front_jit(
                 )
                 codes = jnp.where(valid, packed & jnp.uint32((1 << 26) - 1), 0)
                 lens = jnp.where(valid, (packed >> 26).astype(jnp.int32), 0)
+            elif len(tables) == 1 and not interpret:
+                # Dense dual packed-16 Pallas gather: the exact tier for
+                # alphabets the displacement pack rejects.
+                from ..ops.pallas_gather import gather_packed32_dense
+
+                packed = gather_packed32_dense(sym_dev, tables[0])
+                codes = jnp.where(valid, packed & jnp.uint32((1 << 26) - 1), 0)
+                lens = jnp.where(valid, (packed >> 26).astype(jnp.int32), 0)
             else:
                 from ..ops import encode as enc
 

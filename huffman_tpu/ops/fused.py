@@ -123,6 +123,15 @@ def encode_device(
         )
         codes = jnp.where(val2, packed & jnp.uint32((1 << 26) - 1), 0)
         lens = jnp.where(val2, (packed >> 26).astype(jnp.int32), 0)
+    elif max_len <= 26 and not interpret:
+        # Exact any-alphabet tier: the dense 65,536-entry table as two
+        # packed-16 Pallas gathers (~4x XLA's per-element gather).
+        from .pallas_gather import gather_packed32_dense
+
+        enc_packed = (enc_lens.astype(jnp.uint32) << 26) | enc_codes
+        packed = gather_packed32_dense(sym2, enc_packed)
+        codes = jnp.where(val2, packed & jnp.uint32((1 << 26) - 1), 0)
+        lens = jnp.where(val2, (packed >> 26).astype(jnp.int32), 0)
     elif max_len <= 26:
         # One gather instead of two (len << 26 | code), packed on device.
         enc_packed = (enc_lens.astype(jnp.uint32) << 26) | enc_codes
@@ -211,7 +220,7 @@ def encode_device_auto(
     max_len: int = MAX_CODE_LEN,
     words_cap: int | None = None,
     interpret: bool = False,
-    ladder: tuple[int | None, ...] = (8192, 16384, None),
+    ladder: tuple[int | None, ...] = (8192, 16384, 32768, None),
 ):
     """``encode_device`` with the documented fallback ladder applied.
 
