@@ -92,15 +92,28 @@ def main() -> None:
     )
 
     def run(streams_dev):
+        # packed_out: the kernel's 16-bit pair words ARE the final symbol
+        # stream — the complete decode, without an unpack the container
+        # path doesn't perform either.
         return pd.decode_groups(
             streams_dev, *args[1:], B, rows_per, sym_rows,
             max_len=max(cb.max_len, 1), translate=translate,
-            min_len=min_len, interpret=not on_tpu,
+            min_len=min_len, interpret=not on_tpu, packed_out=translate,
         )
 
     out = np.asarray(run(args[0]))
-    dec = out.reshape(ngroups, B, 8, 128).transpose(0, 2, 3, 1).reshape(-1)[:n_pairs]
-    if not translate:  # rank mode: host-side translation
+    if translate:
+        dec = (
+            out.reshape(ngroups, B // 2, 8, 128)
+            .transpose(0, 2, 3, 1)
+            .astype(np.uint32)
+            .copy()
+            .view("<u2")
+            .reshape(-1)[:n_pairs]
+            .astype(np.int64)
+        )
+    else:
+        dec = out.reshape(ngroups, B, 8, 128).transpose(0, 2, 3, 1).reshape(-1)[:n_pairs]
         dec = cb.sym_order.astype(np.int64)[np.clip(dec, 0, cb.n_unique - 1)]
     assert np.array_equal(dec, symbols), "decode mismatch — benchmark invalid"
 

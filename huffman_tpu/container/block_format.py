@@ -704,25 +704,32 @@ def _decode_v1(c: ParsedContainer, backend) -> np.ndarray:
 _postpack_cache: dict = {}
 
 
-def _postpack_v2(out, ngroups_p: int, ngroups: int, B: int):
-    """(g*B+t, 8, 128) device symbols -> block-major packed u16 pairs (as
-    uint32 words), still on device; one cached jit per shape class."""
+def _postpack_v2(out, ngroups_p: int, ngroups: int, B: int, packed: bool):
+    """Device symbols -> block-major packed u16 pairs (as uint32 words),
+    still on device; one cached jit per shape class. ``packed`` input is
+    the kernel's native (g, B/2, 8, 128) pair words (already the final
+    16-bit stream — just reorder); unpacked input is (g*B, 8, 128) i32."""
     import jax
     import jax.numpy as jnp
 
-    fn = _postpack_cache.get(True)
+    fn = _postpack_cache.get(packed)
     if fn is None:
 
         @functools.partial(
             jax.jit, static_argnames=("ngroups_p", "ngroups", "B")
         )
         def fn(out, *, ngroups_p, ngroups, B):
+            if packed:
+                a = out.reshape(ngroups_p, B // 2, 8, 128)[:ngroups]
+                return jax.lax.bitcast_convert_type(
+                    a.transpose(0, 2, 3, 1), jnp.uint32
+                ).reshape(-1)
             a = out.reshape(ngroups_p, B, 8, 128)[:ngroups]
             flat = a.transpose(0, 2, 3, 1).reshape(-1)
             pair = flat.reshape(-1, 2).astype(jnp.uint32)
             return pair[:, 0] | (pair[:, 1] << 16)
 
-        _postpack_cache[True] = fn
+        _postpack_cache[packed] = fn
     return fn(out, ngroups_p=ngroups_p, ngroups=ngroups, B=B)
 
 
@@ -798,10 +805,14 @@ def _decode_v2(c: ParsedContainer, backend) -> np.ndarray:
             if (not translate and cb.n_unique)
             else None
         ),
+        # In-kernel-translated output stays in the kernel's packed pair
+        # form: the words ARE the final 16-bit stream, skipping the
+        # unpack/repack shuffle (33 MB of traffic per 16 MiB decoded).
+        packed_out=bool(translate),
     )
     # (g*B+t, s, l) -> block-major + 16-bit pair packing ON DEVICE: the
     # tunnel moves D2H at ~50 MB/s, so shipping the decoded symbols as
     # packed u16 pairs (16.5 MB) instead of int32 (33 MB) halves the
     # largest wall-time term, and the layout transpose rides the device.
-    packed = _postpack_v2(out, ngroups_p, c.ngroups, B)
+    packed = _postpack_v2(out, ngroups_p, c.ngroups, B, bool(translate))
     return np.asarray(packed).view("<u2")

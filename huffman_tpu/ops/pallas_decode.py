@@ -320,7 +320,7 @@ def _decode_kernel(
     jax.jit,
     static_argnames=(
         "n_steps", "stream_rows", "sym_rows", "max_len", "translate",
-        "multi", "min_len", "interpret",
+        "multi", "min_len", "interpret", "packed_out",
     ),
 )
 def decode_groups(
@@ -338,6 +338,7 @@ def decode_groups(
     min_len: int = 1,
     interpret: bool = False,
     sym_order_dev: jax.Array | None = None,  # (n,) int32 rank -> symbol
+    packed_out: bool = False,
 ) -> jax.Array:
     """Decode all groups; returns (ngroups * n_steps, 8, 128) int32 where
     row g*n_steps+t holds step t of group g (lane (s,l) = block
@@ -400,6 +401,18 @@ def decode_groups(
         ),
         interpret=interpret,
     )(meta, lj_i32, streams, base_pad, symtab2)
+    if packed_out:
+        # The packed pairs ARE the final 16-bit symbol stream: word h of
+        # lane (s,l) holds steps 2h, 2h+1 — consecutive block symbols in
+        # little-endian u16 order. Callers assembling byte output reorder
+        # (g, half, 8, 128) -> (g, 8, 128, half) and view as '<u2',
+        # skipping the 2x unpack/repack shuffle entirely. Only valid with
+        # in-kernel translation (ranks would need per-half translation).
+        if not translate and sym_order_dev is not None:
+            raise ValueError("packed_out requires in-kernel translation")
+        out = packed.reshape(ngroups_p, half, SUBLANES, LANES)
+        return out[:ngroups] if pad_g else out
+
     # Unpack the 16-bit symbol pairs back to one row per step (fused XLA
     # pass over the output, ~free next to the kernel itself).
     u = jax.lax.bitcast_convert_type(packed, jnp.uint32)
