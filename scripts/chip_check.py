@@ -219,6 +219,36 @@ def sweep(n_seeds: int = 3) -> int:
         else:
             print(f"ok   seed={seed} pack_stream reference payload", flush=True)
 
+        # the scale-out containers through the device path: HTPS streaming
+        # (independent chunk records, pipelined) and HTPX sharded archive
+        import io
+
+        from huffman_tpu.container import sharded as shd
+        from huffman_tpu.container import streaming as stm
+
+        data = _sweep_data(rng, "silesia4k", 6 << 20)
+        buf = io.BytesIO()
+        stm.compress_stream(io.BytesIO(data), buf, chunk_bytes=2 << 20,
+                            backend="jax")
+        out = io.BytesIO()
+        stm.decompress_stream(io.BytesIO(buf.getvalue()), out)
+        total += 1
+        if out.getvalue() != data:
+            failures += 1
+            print(f"FAIL seed={seed} HTPS device roundtrip")
+        else:
+            print(f"ok   seed={seed} HTPS device roundtrip "
+                  f"({len(data)} B, 3 chunks)", flush=True)
+
+        blob = shd.compress(data, n_shards=4, backend="jax")
+        total += 1
+        if shd.decompress(blob) != data:
+            failures += 1
+            print(f"FAIL seed={seed} HTPX device roundtrip")
+        else:
+            print(f"ok   seed={seed} HTPX device roundtrip (4 shards)",
+                  flush=True)
+
     # decode multi sweep on one config (multi is a kernel ILP knob, not a
     # format property): direct kernel runs at multi 1 and 3 vs symbols.
     from huffman_tpu.codebook import Codebook
