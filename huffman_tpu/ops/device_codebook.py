@@ -49,8 +49,10 @@ import jax.numpy as jnp
 from ..constants import MAX_CODE_LEN, MAX_SYMBOLS
 
 # Sentinel weight for absent symbols / list padding: orders after every real
-# weight, and one packaging step keeps it below int32 overflow.
-_INF = jnp.int32(1) << 30
+# weight, and one packaging step keeps it below int32 overflow. A plain
+# Python int: a module-level jnp constant would become a leaked tracer if
+# this module's first import happened inside a trace.
+_INF = 1 << 30
 
 
 @functools.partial(jax.jit, static_argnames=("max_len", "alphabet_cap"))

@@ -123,72 +123,13 @@ def build_displacement_table(
     return None
 
 
-DEVICE_PACK_SLOTS = 16384  # static bucket for the on-device packer
-
-
-@functools.partial(jax.jit, static_argnames=("n_slots",))
-def device_displacement_pack(
-    values: jax.Array,    # (65536,) uint32 payload per symbol
-    present: jax.Array,   # (65536,) bool
-    n_slots: int = DEVICE_PACK_SLOTS,
-):
-    """Row-displacement packing ON DEVICE (for the fused all-device
-    encoder, whose codebook never visits the host).
-
-    Same first-fit-decreasing scheme as the host builder, TPU-first: the
-    per-row collision scan is ONE 1-D convolution of the occupancy vector
-    with the row pattern (the MXU eats the 256-tap correlation), and the
-    row loop is a 256-iteration fori_loop with dynamic-slice updates.
-    Returns (disp (256,) int32, table (n_slots,) uint32, ok bool) — ``ok``
-    False means the alphabet did not pack (callers rerun with the XLA
-    gather; the displacement layout itself never affects output bytes).
-    """
-    values2 = values.reshape(256, 256)
-    present2 = present.reshape(256, 256).astype(jnp.float32)
-    counts = jnp.sum(present2, axis=1).astype(jnp.int32)
-    # FFD order: densest rows first (count desc, hi asc — the sort key
-    # packs both into one int for a single-key sort).
-    order_key = (-counts) * 256 + jnp.arange(256, dtype=jnp.int32)
-    _, order = jax.lax.sort(
-        (order_key, jnp.arange(256, dtype=jnp.int32)), num_keys=1
-    )
-    max_d = n_slots - 256
-
-    def row_step(oi, state):
-        occ, disp, table, ok = state
-        hi = order[oi]
-        pat = jax.lax.dynamic_slice(present2, (hi, 0), (1, 256))  # (1,256)
-        vals = jax.lax.dynamic_slice(values2, (hi, 0), (1, 256))
-        # collisions[d] = sum_j occ[d+j] * pat[j] for d in [0, max_d]
-        # (ML "conv" is cross-correlation — no kernel flip needed.)
-        coll = jax.lax.conv_general_dilated(
-            occ.reshape(1, 1, n_slots),
-            pat.reshape(1, 1, 256),
-            window_strides=(1,),
-            padding=((0, 255),),
-            dimension_numbers=("NCH", "OIH", "NCH"),
-        ).reshape(n_slots)[: max_d + 1]
-        free = coll == 0
-        d = jnp.argmax(free).astype(jnp.int32)
-        row_ok = free.any() | (counts[hi] == 0)
-        window = jax.lax.dynamic_slice(occ, (d,), (256,))
-        occ = jax.lax.dynamic_update_slice(
-            occ, jnp.maximum(window, pat[0]), (d,)
-        )
-        tw = jax.lax.dynamic_slice(table, (d,), (256,))
-        table = jax.lax.dynamic_update_slice(
-            table, jnp.where(pat[0] > 0, vals[0], tw), (d,)
-        )
-        disp = disp.at[hi].set(d)
-        return occ, disp, table, ok & row_ok
-
-    occ0 = jnp.zeros((n_slots,), jnp.float32)
-    disp0 = jnp.zeros((256,), jnp.int32)
-    table0 = jnp.zeros((n_slots,), jnp.uint32)
-    occ, disp, table, ok = jax.lax.fori_loop(
-        0, 256, row_step, (occ0, disp0, table0, jnp.bool_(True))
-    )
-    return disp, table, ok
+# NOTE (measured negative, r2): an ON-DEVICE first-fit displacement pack
+# was built as a 256-round fori_loop with per-row 1-D conv collision scans
+# and measured ~140 ms — tiny sequential XLA convs cost ~550 us each on
+# this chip. The rank-select structure below replaced it: its build is
+# fully vectorized (bit-pack + cumsum + one monotone scatter) and serves
+# the fused all-device encoder; the host/native FFD pack above serves the
+# container path.
 
 
 def _gather_kernel(disp_ref, table_ref, sym_ref, out_ref, *, n_tiles: int):

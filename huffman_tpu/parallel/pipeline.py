@@ -248,7 +248,10 @@ def distributed_encode_streams(
     (streams (ngroups, 2048+cap') u32 sharded on groups, counts (ngroups,)
     replicated, lengths (MAX_SYMBOLS,) replicated, ok).
     """
+    # Imports resolved OUTSIDE the traced region (an import during tracing
+    # would leak tracers into any module-level constants it builds).
     from ..constants import GROUP_LANES
+    from ..ops import pallas_hist  # noqa: F401  (used under shard_map)
     from ..ops.device_codebook import (
         device_canonical_tables,
         device_code_lengths,
@@ -275,9 +278,7 @@ def distributed_encode_streams(
         if interpret:
             h_loc = histogram_matmul(masked, chunk=4096)
         else:
-            from ..ops.pallas_hist import histogram_pallas
-
-            h_loc = histogram_pallas(masked)
+            h_loc = pallas_hist.histogram_pallas(masked)
         h_loc = h_loc.at[0].add(-jnp.sum(~valid))
         hist_all = jax.lax.psum(h_loc, axis)
 
@@ -292,7 +293,10 @@ def distributed_encode_streams(
 
         sym2 = sym_flat.reshape(lanes_loc, B)
         val2 = valid.reshape(lanes_loc, B)
-        if interpret or max_len > 26:
+        if max_len > 26:
+            # len<<26 packing overflows past 26-bit codes: two-table gather
+            codes, lens = enc.gather_codes(sym2, enc_codes, enc_lens, val2)
+        elif interpret:
             enc_packed = (enc_lens.astype(jnp.uint32) << 26) | enc_codes
             codes, lens = enc.gather_codes_packed(sym2, enc_packed, val2)
         else:

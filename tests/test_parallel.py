@@ -167,3 +167,45 @@ def test_distributed_encode_streams_matches_host():
     for g, rs in enumerate(ref):
         assert counts[g] == rs.size, g
         np.testing.assert_array_equal(streams[g, : rs.size], rs, err_msg=str(g))
+
+
+def test_distributed_encode_streams_deep_codes():
+    """max_len > 26 must take the two-table gather (the packed len<<26
+    table overflows for deep codes)."""
+    import numpy as np
+    from huffman_tpu.codebook import Codebook
+    from huffman_tpu.constants import MAX_SYMBOLS
+    from huffman_tpu.container import block_format as bf
+    from huffman_tpu.container import interleave as il
+    from huffman_tpu.ops import pallas_decode as pd
+    from huffman_tpu.parallel import pipeline as pp
+
+    rng = np.random.default_rng(41)
+    B = 16
+    n_lanes = 8 * pd.GROUP_LANES
+    n_pairs = n_lanes * B - 3
+    # Fibonacci-skewed weights: natural depth > 26 for a ~45-symbol alphabet
+    n = 45
+    alpha = rng.choice(MAX_SYMBOLS, n, replace=False)
+    w = np.array([1.55 ** -i for i in range(n)]); w /= w.sum()
+    symbols = rng.choice(alpha, n_pairs, p=w).astype(np.uint16)
+    padded = np.zeros(n_lanes * B, np.int32)
+    padded[:n_pairs] = symbols
+
+    mesh = pp.data_mesh()
+    streams, counts, lengths, ok = pp.distributed_encode_streams(
+        mesh, jnp.asarray(padded), jnp.asarray(n_pairs, jnp.int32),
+        B, words_cap=B * pd.GROUP_LANES, max_len=32, alphabet_cap=None,
+        interpret=True,
+    )
+    assert bool(ok)
+    cb = Codebook.from_lengths(np.asarray(lengths).astype(np.uint8))
+    slab, _, lens = bf._encode_slab_numpy(symbols, cb, n_lanes, B)
+    eff = il.effective_lengths(
+        lens, n_pairs, int(cb.lengths[cb.lengths > 0].min()), n_lanes, B
+    )
+    ref = il.build_interleaved_streams(slab, eff, (n_pairs + B - 1) // B)
+    streams, counts = np.asarray(streams), np.asarray(counts)
+    for g, rs in enumerate(ref):
+        assert counts[g] == rs.size
+        np.testing.assert_array_equal(streams[g, : rs.size], rs)
