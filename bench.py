@@ -106,8 +106,7 @@ def main() -> None:
         dec = (
             out.reshape(ngroups, B // 2, 8, 128)
             .transpose(0, 2, 3, 1)
-            .astype(np.uint32)
-            .copy()
+            .astype(np.uint32)  # contiguous copy; words are '<u2' pairs
             .view("<u2")
             .reshape(-1)[:n_pairs]
             .astype(np.int64)
