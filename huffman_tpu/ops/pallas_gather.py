@@ -1,25 +1,28 @@
-"""Pallas TPU kernel: symbol -> (code,len) table lookup via row displacement.
+"""Pallas TPU gather structures: fast table lookups the hardware lacks.
 
-XLA's generic gather runs at ~0.27 Gelem/s on the v5e (61.5 ms for a
-16 MiB input's 8.4M byte-pair symbols — by far the largest device-encode
-stage, scripts/perf_encode.py). The reference gathers per pair with one
-global-memory load (Compressor.cu:50-61); the TPU has no fast per-element
-HBM gather, but Mosaic's tile-local LANE gather is ~100 Gelem/s — if the
-table fits a few VMEM rows.
+XLA's generic per-element gather runs at ~0.27 Gelem/s on the v5e
+(61.5 ms for a 16 MiB input's 8.4M byte-pair symbols — it was the
+largest encode stage by far); Mosaic's tile-local LANE gather is ~two
+orders faster when the table fits VMEM rows. The reference reads its
+tables with one global-memory load per element (Compressor.cu:50-61); a
+TPU needs a structure. This module provides four, by key shape:
 
-Encode lookups are keyed by raw 16-bit symbol VALUE (sparse in [0,65536)),
-so the decode kernel's dense rank-indexed table doesn't apply. Instead the
-host compresses the 256x256 (hi,lo) table with classic **row
-displacement** (Tarjan/Yao sparse-table compression): rows (hi bytes) are
-first-fit packed into one slot array so that present entries never
-collide; absent entries may alias — harmless, because the codebook is
-built from the data's own histogram, so symbols outside the alphabet
-cannot occur in real steps (padding steps are masked downstream).
+* ``gather_rank_select`` — succinct dictionary for SPARSE 16-bit keys
+  with a known alphabet: rank = cum[sym>>5] + popcount(maskword below),
+  payload from a dense rank-ordered table. Fully-vectorized build (used
+  by the fused all-device encoder); 3.7 ms / 8.4M lookups.
+* ``gather_table_pallas`` — row-displacement compressed table
+  (Tarjan/Yao) for the same keys; the build is a sequential first-fit
+  pack, done on the host (numpy twin + native C htpu_disp_pack, ~3 ms).
+  Used by the container path where the codebook lives on the host.
+* ``gather_u16_pallas`` — DENSE 16-bit-payload tables, two entries per
+  word (the decoder's large-alphabet rank->symbol translation pass).
+* ``gather_packed32_dense`` — dense full-alphabet 32-bit payloads as two
+  packed-16 gathers (the exact any-alphabet encode tier).
 
-Kernel math per symbol: ``slot = disp[sym >> 8] + (sym & 255)`` (2-row
-lane gather) then one balanced lane-gather tree over the packed table
-(<= 64 rows at the 8192-slot default). Embarrassingly parallel — no
-serial carries, so Mosaic pipelines it at full VPU issue rate.
+Aliasing of absent keys is harmless by construction: every codebook
+derives from the data's own histogram, so symbols outside the alphabet
+cannot occur on real steps (padding is masked downstream).
 """
 
 from __future__ import annotations
