@@ -106,7 +106,7 @@ def main() -> None:
         dec = (
             out.reshape(ngroups, B // 2, 8, 128)
             .transpose(0, 2, 3, 1)
-            .astype(np.uint32)  # contiguous copy; words are '<u2' pairs
+            .astype(np.uint32, order="C")  # contiguous; words are '<u2' pairs
             .view("<u2")
             .reshape(-1)[:n_pairs]
             .astype(np.int64)
@@ -124,7 +124,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "huffman_decode_throughput_silesia_like_32MB",
+                "metric": f"huffman_decode_throughput_silesia_like_{size_mb}MB",
                 "value": round(gbps, 3),
                 "unit": "GB/s/chip",
                 "vs_baseline": round(gbps / 5.0, 3),
@@ -170,7 +170,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "huffman_encode_throughput_silesia_like_32MB",
+                "metric": f"huffman_encode_throughput_silesia_like_{size_mb}MB",
                 "value": round(egbps, 3),
                 "unit": "GB/s/chip",
                 "vs_baseline": round(egbps / 1.0, 3),
