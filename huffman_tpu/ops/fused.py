@@ -97,10 +97,6 @@ def encode_device(
     ok = jnp.bool_(True)
     if alphabet_cap is not None:
         ok = ok & (n_unique <= alphabet_cap)
-    lengths = device_code_lengths(
-        hist, max_len=max_len, alphabet_cap=alphabet_cap
-    )
-    enc_codes, enc_lens, lj_limit, base, sym_rank = device_canonical_tables(lengths)
 
     sym2 = symbols.reshape(n_lanes, B)
     val2 = valid.reshape(n_lanes, B)
@@ -111,33 +107,65 @@ def encode_device(
         # vectorized (bit-pack + cumsum + one monotone scatter, ~1 ms) —
         # the row-displacement FFD pack is sequential and costs ~140 ms as
         # an in-jit loop, so it stays a HOST-side builder (container path).
+        # Codebook + dictionary + gather run under a DATA-ADAPTIVE cond:
+        # XLA:TPU executes only the taken branch, so a small alphabet pays
+        # K=4096-sized sorts and a 32-row gather tree even when the
+        # validity cap is 8192 (measured: the cond itself costs nothing).
         from .pallas_gather import build_rank_select, gather_rank_select
 
-        enc_packed = (enc_lens.astype(jnp.uint32) << 26) | enc_codes
-        maskw, cums, dense, pack_ok = build_rank_select(
-            enc_packed, lengths > 0, cap=alphabet_cap or 8192
-        )
-        ok = ok & pack_ok
-        packed = gather_rank_select(
-            sym2, maskw, cums, dense, interpret=interpret
-        )
-        codes = jnp.where(val2, packed & jnp.uint32((1 << 26) - 1), 0)
-        lens = jnp.where(val2, (packed >> 26).astype(jnp.int32), 0)
-    elif max_len <= 26 and not interpret:
-        # Exact any-alphabet tier: the dense 65,536-entry table as two
-        # packed-16 Pallas gathers (~4x XLA's per-element gather).
-        from .pallas_gather import gather_packed32_dense
+        def tier(cap):
+            def run(hist):
+                lengths = device_code_lengths(
+                    hist, max_len=max_len, alphabet_cap=cap
+                )
+                tabs = device_canonical_tables(lengths)
+                enc_codes, enc_lens = tabs[0], tabs[1]
+                enc_packed = (enc_lens.astype(jnp.uint32) << 26) | enc_codes
+                maskw, cums, dense, pack_ok = build_rank_select(
+                    enc_packed, lengths > 0, cap=cap
+                )
+                packed = gather_rank_select(
+                    sym2, maskw, cums, dense, interpret=interpret
+                )
+                return (lengths, *tabs[2:], packed, pack_ok)
 
-        enc_packed = (enc_lens.astype(jnp.uint32) << 26) | enc_codes
-        packed = gather_packed32_dense(sym2, enc_packed)
+            return run
+
+        cap_top = alphabet_cap or 8192
+        tiers = sorted({min(4096, cap_top), cap_top})
+        if len(tiers) == 2:
+            lengths, lj_limit, base, sym_rank, packed, pack_ok = jax.lax.cond(
+                n_unique <= tiers[0], tier(tiers[0]), tier(tiers[1]), hist
+            )
+        else:
+            lengths, lj_limit, base, sym_rank, packed, pack_ok = tier(
+                tiers[0]
+            )(hist)
+        ok = ok & pack_ok
         codes = jnp.where(val2, packed & jnp.uint32((1 << 26) - 1), 0)
         lens = jnp.where(val2, (packed >> 26).astype(jnp.int32), 0)
-    elif max_len <= 26:
-        # One gather instead of two (len << 26 | code), packed on device.
-        enc_packed = (enc_lens.astype(jnp.uint32) << 26) | enc_codes
-        codes, lens = enc.gather_codes_packed(sym2, enc_packed, val2)
     else:
-        codes, lens = enc.gather_codes(sym2, enc_codes, enc_lens, val2)
+        lengths = device_code_lengths(
+            hist, max_len=max_len, alphabet_cap=alphabet_cap
+        )
+        enc_codes, enc_lens, lj_limit, base, sym_rank = device_canonical_tables(
+            lengths
+        )
+        if max_len <= 26 and not interpret:
+            # Exact any-alphabet tier: the dense 65,536-entry table as two
+            # packed-16 Pallas gathers (~4x XLA's per-element gather).
+            from .pallas_gather import gather_packed32_dense
+
+            enc_packed = (enc_lens.astype(jnp.uint32) << 26) | enc_codes
+            packed = gather_packed32_dense(sym2, enc_packed)
+            codes = jnp.where(val2, packed & jnp.uint32((1 << 26) - 1), 0)
+            lens = jnp.where(val2, (packed >> 26).astype(jnp.int32), 0)
+        elif max_len <= 26:
+            # One gather instead of two (len << 26 | code), packed on device.
+            enc_packed = (enc_lens.astype(jnp.uint32) << 26) | enc_codes
+            codes, lens = enc.gather_codes_packed(sym2, enc_packed, val2)
+        else:
+            codes, lens = enc.gather_codes(sym2, enc_codes, enc_lens, val2)
     offsets, bits = enc.block_offsets(lens)
     min_len = jnp.min(jnp.where(lengths > 0, lengths, MAX_CODE_LEN + 1))
     min_len = jnp.minimum(min_len, MAX_CODE_LEN)  # empty alphabet guard
