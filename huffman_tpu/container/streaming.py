@@ -69,7 +69,7 @@ def compress_stream(
             total += len(chunk)
             crc = zlib.crc32(chunk, crc)
             pending.append(pool.submit(job, chunk))
-            if len(pending) > pipeline:
+            if len(pending) >= pipeline:
                 blob = pending.pop(0).result()
                 dst.write(len(blob).to_bytes(4, "little"))
                 dst.write(blob)
@@ -126,7 +126,7 @@ def decompress_stream(
             if len(blob) < size:
                 raise ValueError("truncated HTPS record")
             pending.append(pool.submit(job, blob))
-            if len(pending) > pipeline:
+            if len(pending) >= pipeline:
                 drain(pending.pop(0))
         for fut in pending:
             drain(fut)

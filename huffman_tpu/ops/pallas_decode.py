@@ -408,7 +408,11 @@ def decode_groups(
         # (g, half, 8, 128) -> (g, 8, 128, half) and view as '<u2',
         # skipping the 2x unpack/repack shuffle entirely. Only valid with
         # in-kernel translation (ranks would need per-half translation).
-        if not translate and sym_order_dev is not None:
+        if not translate:
+            # Without in-kernel translation the packed words hold canonical
+            # RANKS, not symbols — shipping them as the symbol stream would
+            # be silent corruption regardless of whether the caller passed
+            # sym_order_dev.
             raise ValueError("packed_out requires in-kernel translation")
         out = packed.reshape(ngroups_p, half, SUBLANES, LANES)
         return out[:ngroups] if pad_g else out
