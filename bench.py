@@ -1,26 +1,33 @@
-"""Headline benchmark: Huffman decode AND encode GB/s per chip on
-Silesia-like data.
+"""Headline benchmark: Huffman decode AND encode GB/s per chip.
 
 The reference publishes no performance numbers at all (BASELINE.md) and its
 decoder is a sequential CPU tree walk; the north-star target from
 BASELINE.json is the yardstick: decode >= 5 GB/s/chip (``vs_baseline`` =
-value / 5.0). The encode line measures the FUSED all-device pipeline
-(Pallas histogram -> capped package-merge codebook -> rank-select gather
--> Pallas pack -> stream deposit, one jit) against the round-2 target of
-1 GB/s/chip — the reference's research territory is its GPU encoder, so
-the encode rate is the other half of the headline.
+value / 5.0). The encode lines measure the FUSED all-device pipeline
+(Pallas histogram -> tiered package-merge codebook -> rank-select gather
+-> Pallas pack -> stream deposit, one jit) against the round-3 stretch of
+2 GB/s/chip (the round-2 1.0 target was beaten at 1.758) — the
+reference's research territory is its GPU encoder, so the encode rate is
+the other half of the headline.
 
-Method: 32 MiB of synthetic text-like data (Zipf byte pairs + noise tail,
-~0.6 compression ratio), encoded to the native interleaved container
-layout; the Pallas group decoder is timed steady-state on device-resident
+Four metric lines (the driver parses the first two as the headline pair):
+  1. decode, silesia-like 32 MiB (~3k unique pairs)  / 5.0
+  2. encode, silesia-like 32 MiB                      / 2.0
+  3. decode, wide 30k-unique-pair zipf 16 MiB         / 5.0  (rank tier +
+     in-jit packed-16 translate — the data-adaptive path most likely to
+     regress under tier churn, VERDICT r2 #8)
+  4. encode, wide 30k 16 MiB                          / 1.0  (the full-
+     alphabet lax.switch tier; VERDICT r2 missing #1 target)
+
+Method: the Pallas group decoder is timed steady-state on device-resident
 streams by running K iterations inside ONE jit program, chained through a
 loop-carried write into each group's padding slack (a semantic no-op the
 compiler cannot hoist), so the environment's fixed dispatch overhead
 (~50 ms per call through this axon tunnel — far larger than the kernel
 itself) amortizes away instead of being subtracted noisily.
 
-Prints one JSON line per metric (decode first, then encode), each
-{"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line per metric, each {"metric", "value", "unit",
+"vs_baseline"}.
 """
 
 import json
@@ -29,30 +36,54 @@ import sys
 import numpy as np
 
 
-def _timed_repeat(jax, jnp, decode_fn, streams, iters: int):
+def _timed_repeat(fn, arg, iters: int):
     from huffman_tpu.utils.timing import amortized_time_fn
 
     # 5 reps: the chip is shared and a 3-rep median can land entirely
     # inside a noisy window (observed ±8-35% tenant interference).
-    return amortized_time_fn(decode_fn, streams, iters=iters, reps=5)
+    return amortized_time_fn(fn, arg, iters=iters, reps=5)
 
 
-def main() -> None:
+def _wide30k(nbytes: int, seed: int = 3) -> np.ndarray:
+    """Zipf data over 30,000 unique byte-pair symbols (~2x the 16K tier
+    boundary: lands in the full-alphabet top tier on encode and the rank
+    tier + in-jit translate on decode)."""
+    rng = np.random.default_rng(seed)
+    a = rng.choice(65536, 30000, replace=False).astype(np.uint16)
+    p = 1.0 / np.arange(1, 30001) ** 0.65
+    p /= p.sum()
+    return rng.choice(a, nbytes // 2, p=p).astype("<u2").view(np.uint8)
+
+
+def _emit(metric, gbps, denom):
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(gbps, 3),
+                "unit": "GB/s/chip",
+                "vs_baseline": round(gbps / denom, 3),
+            }
+        ),
+        flush=True,
+    )
+
+
+def bench_pair(data: np.ndarray, tag: str, on_tpu: bool,
+               dec_baseline: float, enc_baseline: float) -> None:
+    """Encode ``data`` to the interleaved container layout on the host,
+    then time (a) the Pallas group decoder and (b) the fused device
+    encoder, both steady-state in-jit, asserting bit-exactness first."""
     import jax
     import jax.numpy as jnp
 
-    from huffman_tpu.codebook import Codebook
+    from huffman_tpu.codebook import Codebook, package_merge_lengths
     from huffman_tpu.constants import MAX_SYMBOLS
     from huffman_tpu.container import block_format as bf
     from huffman_tpu.container import interleave as il
     from huffman_tpu.ops import pallas_decode as pd
-    from huffman_tpu.utils.benchmark import silesia_like
 
-    on_tpu = jax.devices()[0].platform != "cpu"
-    size_mb = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     B = 512
-
-    data = silesia_like(size_mb << 20, seed=7)
     symbols = data[: data.size & ~1].view("<u2").astype(np.int32)
     n_pairs = symbols.size
     n_real = (n_pairs + B - 1) // B
@@ -60,16 +91,8 @@ def main() -> None:
     ngroups = n_lanes // pd.GROUP_LANES
 
     freqs = np.bincount(symbols, minlength=MAX_SYMBOLS)
-    cb = Codebook.from_frequencies(freqs)
-    if cb.max_len > 18:  # the native container's depth-limit default
-        from huffman_tpu.ops.device_codebook import device_code_lengths
-
-        cb = Codebook.from_lengths(
-            np.asarray(
-                device_code_lengths(freqs.astype(np.int32), max_len=18)
-            ).astype(np.uint8)
-        )
-    slab, block_bits, lens = bf._encode_slab_numpy(
+    cb = Codebook.from_lengths(package_merge_lengths(freqs, 18))
+    slab, _, lens = bf._encode_slab_numpy(
         symbols.astype(np.uint16), cb, n_lanes, B
     )
     min_len = int(cb.lengths[cb.lengths > 0].min())
@@ -118,20 +141,9 @@ def main() -> None:
 
     # iters must swamp the ~60 ms tunneled dispatch: at iters=20 the
     # overhead/iters term understated the round-1 headline by ~2x.
-    sec = _timed_repeat(jax, jnp, run, args[0], iters=80 if on_tpu else 1)
-    gbps = n_pairs * 2 / sec / 1e9
-
-    print(
-        json.dumps(
-            {
-                "metric": f"huffman_decode_throughput_silesia_like_{size_mb}MB",
-                "value": round(gbps, 3),
-                "unit": "GB/s/chip",
-                "vs_baseline": round(gbps / 5.0, 3),
-            }
-        ),
-        flush=True,
-    )
+    sec = _timed_repeat(run, args[0], iters=80 if on_tpu else 1)
+    _emit(f"huffman_decode_throughput_{tag}", n_pairs * 2 / sec / 1e9,
+          dec_baseline)
 
     # ---- encode: the fused all-device pipeline ---------------------------
     from huffman_tpu.ops.fused import encode_device
@@ -157,7 +169,7 @@ def main() -> None:
         pad_dev, npairs_dev, B, words_cap=cap, max_len=18,
         interpret=not on_tpu,
     )
-    assert bool(r["ok"]), "fast tier rejected the bench corpus"
+    assert bool(r["ok"]), "fused encoder rejected the bench corpus"
     counts = np.asarray(r["counts"])
     st = np.asarray(r["streams"])
     for g, rs in enumerate(streams):
@@ -165,18 +177,29 @@ def main() -> None:
             st[g, : rs.size], rs
         ), f"encode mismatch group {g} — benchmark invalid"
 
-    sec_e = _timed_repeat(jax, jnp, run_enc, pad_dev, iters=40 if on_tpu else 1)
-    egbps = n_pairs * 2 / sec_e / 1e9
-    print(
-        json.dumps(
-            {
-                "metric": f"huffman_encode_throughput_silesia_like_{size_mb}MB",
-                "value": round(egbps, 3),
-                "unit": "GB/s/chip",
-                "vs_baseline": round(egbps / 1.0, 3),
-            }
-        ),
-        flush=True,
+    sec_e = _timed_repeat(run_enc, pad_dev, iters=40 if on_tpu else 1)
+    _emit(f"huffman_encode_throughput_{tag}", n_pairs * 2 / sec_e / 1e9,
+          enc_baseline)
+
+
+def main() -> None:
+    import jax
+
+    from huffman_tpu.utils.benchmark import silesia_like
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    size_mb = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+
+    bench_pair(
+        silesia_like(size_mb << 20, seed=7),
+        f"silesia_like_{size_mb}MB", on_tpu,
+        dec_baseline=5.0, enc_baseline=2.0,
+    )
+    wide_mb = min(size_mb, 16)
+    bench_pair(
+        _wide30k(wide_mb << 20),
+        f"wide30k_{wide_mb}MB", on_tpu,
+        dec_baseline=5.0, enc_baseline=1.0,
     )
 
 

@@ -150,6 +150,39 @@ def _limit_lengths(freqs: np.ndarray, depths: np.ndarray, limit: int) -> np.ndar
     return lengths_by_rank
 
 
+def package_merge_lengths(freqs: np.ndarray, max_len: int) -> np.ndarray:
+    """Dense optimal length-limited code lengths: the NumPy twin of
+    ops.device_codebook.device_code_lengths, BIT-IDENTICAL per symbol
+    (pinned by tests/test_device_codebook.py). Both sides order leaves by
+    (weight, symbol) and break leaf/package weight ties leaves-first, so
+    the host container builder and the fused device encoder derive the
+    same codebook — the container's host/device byte-identity depends on
+    it. Pure NumPy: no jit, no compile cost on the host path.
+
+    Parameters: ``freqs`` dense (MAX_SYMBOLS,) histogram; ``max_len`` the
+    length limit L (requires n_unique <= 2**L). Returns (MAX_SYMBOLS,)
+    uint8 lengths, 0 for absent symbols.
+    """
+    lengths = np.zeros(MAX_SYMBOLS, dtype=np.uint8)
+    present = freqs > 0
+    n = int(present.sum())
+    if n == 0:
+        return lengths
+    sym = np.flatnonzero(present)
+    if n == 1:
+        # Degenerate 1-bit code (the reference emits empty output here;
+        # SURVEY.md §4).
+        lengths[sym] = 1
+        return lengths
+    w = freqs[sym].astype(np.int64)
+    order = np.lexsort((sym, w))  # ascending (weight, symbol), like the
+    # device's two-key lax.sort
+    lengths[sym[order]] = _limit_lengths(
+        w[order].astype(np.float64), None, max_len
+    ).astype(np.uint8)
+    return lengths
+
+
 @dataclass(frozen=True)
 class Codebook:
     """Canonical Huffman codebook plus dense device-friendly tables.

@@ -45,6 +45,15 @@ PRELOAD_WORDS = 2        # stream words 0,1 of every lane head the stream
 REFILL_THRESHOLD = 33    # lanes refill below this many live bits
 WINDOW_ROWS = GROUP_LANES // 128 + 1  # decoder refill-window rows
 
+# Data-adaptive alphabet tiers shared by the fused device encoder (which
+# selects by n_unique under lax.switch, ops/fused.py) and the host
+# codebook builder (which picks the smallest tier >= this input's
+# n_unique). Package-merge lengths are invariant to any cap >= n_unique
+# (sentinel-padded tails never enter the level counts; pinned by
+# tests/test_device_codebook.py), so both sides land on identical
+# codebooks — the container's device/host byte-identity rests on this.
+ALPHABET_TIERS = (4096, 16384, MAX_SYMBOLS)
+
 # Native container magic / version.
 NATIVE_MAGIC = 0x48545055  # "HTPU"
 NATIVE_VERSION = 1

@@ -390,9 +390,11 @@ def compress(
 ) -> bytes:
     """``max_code_len`` trades a fraction of a percent of ratio for a
     shorter decode-kernel length search (its cost is linear in codebook
-    depth). The cheap two-queue build runs first; only when the optimal
-    code is actually deeper does the optimal package-merge rebuild run.
-    Pass None to disable."""
+    depth). With a limit set (the default), the codebook is the optimal
+    length-limited package-merge code — the SAME construction the fused
+    device encoder runs on-chip, so host- and device-built containers are
+    byte-identical (scripts/chip_check.py sweeps this). Pass None for the
+    unlimited two-queue Huffman code."""
     if len(data) > (1 << 32):
         # int32 device paths (histograms, offsets) bound a single HTPU
         # container; the scale-out formats have no such limit.
@@ -410,32 +412,66 @@ def compress(
 
     if codebook is None and not embed_codebook:
         raise ValueError("embed_codebook=False requires an explicit codebook")
-    if codebook is None:
-        freqs = histogram_host(symbols)
-        codebook = Codebook.from_frequencies(freqs)
-        # The device package-merge is int32 with a 2^30 sentinel: only
-        # rebuild with it when counts stay clear of saturation; otherwise
-        # keep the (deeper) exact host codebook.
-        if (
-            max_code_len is not None
-            and codebook.max_len > max_code_len
-            and n_pairs < (1 << 30)
-        ):
-            # Depth limiting is a decode-speed optimization, not a
-            # correctness requirement: if the package-merge rebuild can't
-            # run (e.g. no usable JAX backend in a host-only process),
-            # keep the unlimited codebook.
-            try:
-                from ..ops.device_codebook import device_code_lengths
+    if (
+        codebook is None
+        and mode == "interleaved"
+        and nblocks > 0
+        and max_code_len is not None
+        and max_code_len <= 26
+        and n_pairs < (1 << 30)
+        and _use_device()
+        and (
+            backend == "jax"
+            or (backend is None and n_pairs >= DEVICE_MIN_PAIRS)
+        )
+    ):
+        # The FLAGSHIP whole-pipeline device encode (ops/fused.py):
+        # histogram -> tiered package-merge codebook -> rank-select gather
+        # -> Pallas stream pack, one program; the host sees only the
+        # lengths vector (for the header) and the trimmed payload.
+        out, codebook = _compress_v2_fused(
+            data, symbols, is_odd, last_byte, B, nblocks, max_code_len
+        )
+    else:
+        out, codebook = _compress_host_codebook(
+            data, symbols, is_odd, last_byte, codebook, B, nblocks,
+            backend, mode, embed_codebook, max_code_len,
+        )
+    if len(out) >= _HEADER_BYTES + len(data):
+        # Incompressible input: stored mode (flags bit2) — header + raw
+        # bytes. The reference inflates such inputs by ~10% (SURVEY.md §6,
+        # the bundled JPEG); we cap the overhead at the 32-byte header.
+        header = _build_header(1, data, False, 0, codebook, B, 0)
+        header[5] |= 4
+        return bytes(header) + data
+    return out
 
-                lengths = np.asarray(
-                    device_code_lengths(
-                        freqs.astype(np.int32), max_len=max_code_len
-                    )
-                ).astype(np.uint8)
-                codebook = Codebook.from_lengths(lengths)
-            except Exception:
-                pass
+
+def _host_codebook(freqs, max_code_len, n_pairs):
+    """Container codebook from host-side frequencies: optimal
+    length-limited package-merge at ``max_code_len`` via the pure-NumPy
+    twin (codebook.package_merge_lengths — bit-identical to the fused
+    device encoder's on-chip construction, so host- and device-built
+    containers match byte for byte; no jit or JAX dependency on this
+    path). ``max_code_len=None`` selects the unlimited two-queue code."""
+    del n_pairs
+    if max_code_len is not None:
+        from ..codebook import package_merge_lengths
+
+        return Codebook.from_lengths(package_merge_lengths(freqs, max_code_len))
+    return Codebook.from_frequencies(freqs)
+
+
+def _compress_host_codebook(data, symbols, is_odd, last_byte, codebook, B,
+                            nblocks, backend, mode, embed_codebook,
+                            max_code_len):
+    """Container encode with a host-built (or caller-supplied) codebook;
+    the payload may still pack on device (`_encode_streams_jax`). Returns
+    ``(container_bytes, codebook)``."""
+    if codebook is None:
+        codebook = _host_codebook(
+            histogram_host(symbols), max_code_len, symbols.size
+        )
 
     if mode == "interleaved":
         out = _compress_v2(
@@ -449,14 +485,7 @@ def compress(
         )
     else:
         raise ValueError(f"unknown mode {mode!r}")
-    if len(out) >= _HEADER_BYTES + len(data):
-        # Incompressible input: stored mode (flags bit2) — header + raw
-        # bytes. The reference inflates such inputs by ~10% (SURVEY.md §6,
-        # the bundled JPEG); we cap the overhead at the 32-byte header.
-        header = _build_header(1, data, False, 0, codebook, B, 0)
-        header[5] |= 4
-        return bytes(header) + data
-    return out
+    return out, codebook
 
 
 def _compress_v1(data, symbols, is_odd, last_byte, cb, B, nblocks, backend,
@@ -509,9 +538,17 @@ def _compress_v2(data, symbols, is_odd, last_byte, cb, B, nblocks, backend,
         eff = il.effective_lengths(lens, symbols.size, min_len, n_lanes, B)
         streams = il.build_streams(slab, eff, nblocks)
 
-    # Strip pad-lane preload zeros: the stream's first 2*GROUP_LANES words
-    # are w0[lane 0..1023], w1[lane 0..1023]; only the first n_real of each
-    # half carry data. The parser reinserts the zeros.
+    return _emit_streams(out, streams, nblocks)
+
+
+def _emit_streams(out: bytearray, streams, nblocks: int) -> bytes:
+    """Append the v2 payload tail (ngroups, per-group word counts, stream
+    words), stripping pad-lane preload zeros: each stream's first
+    2*GROUP_LANES words are w0[lane 0..1023], w1[lane 0..1023]; only the
+    first n_real of each half carry data. The parser reinserts the
+    zeros."""
+    from ..constants import GROUP_LANES
+
     stripped = []
     for g, s in enumerate(streams):
         n_real = max(0, min(GROUP_LANES, nblocks - g * GROUP_LANES))
@@ -526,6 +563,55 @@ def _compress_v2(data, symbols, is_odd, last_byte, cb, B, nblocks, backend,
     for s in stripped:
         out += s.astype("<u4").tobytes()
     return bytes(out)
+
+
+def _compress_v2_fused(data, symbols, is_odd, last_byte, B, nblocks,
+                       max_code_len, interpret=None, alphabet_cap=None):
+    """Interleaved container via the whole-pipeline fused device encoder
+    (ops/fused.py): the histogram, the tiered package-merge codebook, the
+    rank-select symbol gather, and the Pallas stream pack run as ONE
+    device program on the raw bytes; the host receives the lengths vector
+    (to serialize the codebook header — 128 KiB) and the trimmed payload.
+    Matches the reference's all-on-accelerator encode (Compressor.cu:
+    365-585) without its 10+ host/device crossings, and byte-identical to
+    the host path because both sides build the same cap-invariant
+    package-merge code. Returns ``(container_bytes, codebook)``.
+
+    ``interpret``/``alphabet_cap`` exist for CPU tests (the auto path
+    resolves interpret from the visible device)."""
+    import jax.numpy as jnp
+
+    from ..constants import GROUP_LANES
+    from ..ops.fused import encode_device_bytes
+
+    if interpret is None:
+        interpret = not _use_device()
+    n_lanes = (nblocks + GROUP_LANES - 1) // GROUP_LANES * GROUP_LANES
+    padded = np.zeros(n_lanes * B * 2, dtype=np.uint8)
+    raw = np.frombuffer(data, np.uint8)[: symbols.size * 2]
+    padded[: raw.size] = raw
+    r = encode_device_bytes(
+        jnp.asarray(padded), jnp.asarray(symbols.size, jnp.int32), B,
+        max_len=max_code_len, interpret=interpret, alphabet_cap=alphabet_cap,
+    )
+    counts = np.asarray(r["counts"])
+    if not bool(r["ok"]):
+        # Unreachable with the default full-alphabet top tier; an explicit
+        # alphabet_cap (tests) may overflow — never emit garbage bytes.
+        raise ValueError("fused encode overflowed its alphabet cap")
+    lengths = np.asarray(r["lengths"]).astype(np.uint8)
+    cb = Codebook.from_lengths(lengths)
+    # One sliced D2H: the stream buffer is worst-case sized on device, but
+    # only max(counts) words per group ever cross the ~50 MB/s link.
+    wmax = int(counts.max(initial=1))
+    streams_np = np.asarray(r["streams"][:, :wmax])
+    streams = [streams_np[g, : counts[g]] for g in range(counts.size)]
+
+    out = bytearray(
+        _build_header(2, data, is_odd, last_byte, cb, B, nblocks, True)
+    )
+    out += _codebook_to_header(cb)
+    return _emit_streams(out, streams, nblocks), cb
 
 
 # --------------------------------------------------------------------------

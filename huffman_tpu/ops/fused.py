@@ -17,19 +17,72 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..constants import MAX_CODE_LEN, MAX_SYMBOLS
+from ..constants import ALPHABET_TIERS, MAX_CODE_LEN, MAX_SYMBOLS
 from . import encode as enc
 from .device_codebook import device_canonical_tables, device_code_lengths
 from .device_interleave import build_streams_device
 from .histogram import histogram_matmul
 from .pallas_decode import GROUP_LANES, WINDOW_ROWS
 
+# Data-adaptive alphabet tiers (r3): the codebook's package-merge rounds
+# and the rank-select dictionary's dense table both size by the tier cap,
+# so small alphabets (the common case) pay small sorts and shallow gather
+# trees while the TOP tier covers the full 16-bit alphabet — the fused
+# encoder is exact for EVERY input (the reference runs its whole encode
+# on-GPU at full alphabet too, Compressor.cu:385,
+# gpuHuffmanConstruction.h:695; rounds 1-2 here flagged >8192-unique
+# inputs and re-ran whole programs instead). The ladder is shared with
+# the host codebook builder (constants.ALPHABET_TIERS): package-merge
+# lengths are cap-invariant past n_unique, so host and device agree.
+DEFAULT_TIERS = ALPHABET_TIERS
+
+
+def tiered_code_gather(
+    hist, n_unique, sym2, *, max_len: int, cap_top: int,
+    tiers: tuple[int, ...], interpret: bool,
+):
+    """Codebook + canonical tables + rank-select symbol gather under a
+    data-adaptive ``lax.switch``: XLA:TPU executes ONLY the selected
+    branch, so the per-input cost tracks its own alphabet size (the cond
+    itself measured free, r2). Returns ``(lengths, lj_limit, base,
+    sym_rank, packed, ok)`` with ``packed = len<<26|code`` per symbol;
+    ``ok`` is False only when n_unique exceeds ``cap_top`` (with the
+    default full-alphabet top tier it is always True)."""
+    from .pallas_gather import build_rank_select, gather_rank_select
+
+    ladder = tuple(t for t in sorted(set(tiers)) if t < cap_top) + (cap_top,)
+
+    def tier(cap):
+        def run(h):
+            lengths = device_code_lengths(h, max_len=max_len, alphabet_cap=cap)
+            tabs = device_canonical_tables(lengths)
+            enc_codes, enc_lens = tabs[0], tabs[1]
+            enc_packed = (enc_lens.astype(jnp.uint32) << 26) | enc_codes
+            maskw, cums, dense, pack_ok = build_rank_select(
+                enc_packed, lengths > 0, cap=cap
+            )
+            packed = gather_rank_select(
+                sym2, maskw, cums, dense, interpret=interpret
+            )
+            return (lengths, *tabs[2:], packed, pack_ok)
+
+        return run
+
+    if len(ladder) == 1:
+        out = tier(ladder[0])(hist)
+    else:
+        idx = jnp.int32(0)
+        for t in ladder[:-1]:
+            idx = idx + (n_unique > t).astype(jnp.int32)
+        out = jax.lax.switch(idx, [tier(c) for c in ladder], hist)
+    return out
+
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "B", "words_per_block", "words_cap", "max_len", "interpret",
-        "gather", "alphabet_cap",
+        "gather", "alphabet_cap", "tiers",
     ),
 )
 def encode_device(
@@ -41,7 +94,8 @@ def encode_device(
     max_len: int = MAX_CODE_LEN,
     interpret: bool = False,  # Pallas interpret mode (CPU tests)
     gather: str = "auto",     # "displacement" | "xla" | "auto"
-    alphabet_cap: int | None = 8192,
+    alphabet_cap: int | None = None,
+    tiers: tuple[int, ...] = DEFAULT_TIERS,
 ):
     """Fused encode. Returns a dict with the interleaved payload
     (``streams`` (ngroups, 2*1024+cap) u32 + ``counts``), the dense code
@@ -49,17 +103,19 @@ def encode_device(
     the decode tables (``lj_limit``, ``base``, ``sym_rank``), and ``ok``.
 
     Fast-tier structure (the measured walls, scripts/perf_encode.py): the
-    package-merge codebook sorts only ``alphabet_cap`` items per round
-    (21.7 -> 4.3 ms/16 MiB) and the symbol gather goes through an
-    ON-DEVICE rank-select dictionary + the Pallas lane-gather kernel
-    (61.5 -> 3.7 ms) instead of XLA's per-element gather. Both tiers are
-    exact only while n_unique fits; ``ok`` is False when this run's
-    alphabet overflowed them — the caller MUST then rerun with
-    ``gather="xla", alphabet_cap=None`` (output bytes are garbage, never
-    silently wrong, and the rerun condition is data-visible). "auto"
-    resolves to the fast tier (it is valid for every alphabet the tiers
-    fit, and the JPEG-class 65k alphabets that overflow are exactly the
-    incompressible inputs the container stores raw anyway).
+    package-merge codebook's round cost and the rank-select dictionary's
+    dense table size by a DATA-ADAPTIVE alphabet tier (``tiers``, selected
+    by this input's n_unique under ``lax.switch`` — only the taken branch
+    executes), and the symbol gather goes through the on-device
+    rank-select dictionary + the Pallas lane-gather kernel (61.5 ->
+    3.7 ms/16 MiB) instead of XLA's per-element gather. The default top
+    tier covers the FULL 16-bit alphabet, so the fast tier is exact for
+    every input and ``ok`` is structurally True whenever ``max_len <= 26``
+    — no rerun ladder. Passing an explicit ``alphabet_cap`` restores the
+    flag-and-rerun contract (``ok`` False past the cap; output bytes then
+    garbage, never silently wrong); ``gather="xla"`` selects the
+    any-``max_len`` exact tier (dense packed-16 gather, uncapped
+    codebook).
 
     ``words_cap`` (per-group stream words) defaults to the B*GROUP_LANES
     worst case so the program is shape-static with no host-visible scan
@@ -81,9 +137,10 @@ def encode_device(
     valid = idx < n_pairs
 
     # MXU histogram: the one-hot outer-product accumulation — as a Pallas
-    # kernel on device (transposed one-hots built in VMEM, f32 scratch
-    # accumulator; ~4x the XLA scan formulation), XLA matmuls under the
-    # interpreter. Padding symbols route to bin 0 and are subtracted.
+    # kernel on device (transposed int8 one-hots built in VMEM, int32
+    # VMEM scratch accumulator; ~4x the XLA scan formulation), XLA matmuls
+    # under the interpreter. Padding symbols route to bin 0 and are
+    # subtracted.
     n_pad = jnp.sum(~valid)
     masked = jnp.where(valid, symbols, 0)
     if interpret:
@@ -107,40 +164,13 @@ def encode_device(
         # vectorized (bit-pack + cumsum + one monotone scatter, ~1 ms) —
         # the row-displacement FFD pack is sequential and costs ~140 ms as
         # an in-jit loop, so it stays a HOST-side builder (container path).
-        # Codebook + dictionary + gather run under a DATA-ADAPTIVE cond:
-        # XLA:TPU executes only the taken branch, so a small alphabet pays
-        # K=4096-sized sorts and a 32-row gather tree even when the
-        # validity cap is 8192 (measured: the cond itself costs nothing).
-        from .pallas_gather import build_rank_select, gather_rank_select
-
-        def tier(cap):
-            def run(hist):
-                lengths = device_code_lengths(
-                    hist, max_len=max_len, alphabet_cap=cap
-                )
-                tabs = device_canonical_tables(lengths)
-                enc_codes, enc_lens = tabs[0], tabs[1]
-                enc_packed = (enc_lens.astype(jnp.uint32) << 26) | enc_codes
-                maskw, cums, dense, pack_ok = build_rank_select(
-                    enc_packed, lengths > 0, cap=cap
-                )
-                packed = gather_rank_select(
-                    sym2, maskw, cums, dense, interpret=interpret
-                )
-                return (lengths, *tabs[2:], packed, pack_ok)
-
-            return run
-
-        cap_top = alphabet_cap or 8192
-        tiers = sorted({min(4096, cap_top), cap_top})
-        if len(tiers) == 2:
-            lengths, lj_limit, base, sym_rank, packed, pack_ok = jax.lax.cond(
-                n_unique <= tiers[0], tier(tiers[0]), tier(tiers[1]), hist
+        lengths, lj_limit, base, sym_rank, packed, pack_ok = (
+            tiered_code_gather(
+                hist, n_unique, sym2, max_len=max_len,
+                cap_top=alphabet_cap or MAX_SYMBOLS, tiers=tiers,
+                interpret=interpret,
             )
-        else:
-            lengths, lj_limit, base, sym_rank, packed, pack_ok = tier(
-                tiers[0]
-            )(hist)
+        )
         ok = ok & pack_ok
         codes = jnp.where(val2, packed & jnp.uint32((1 << 26) - 1), 0)
         lens = jnp.where(val2, (packed >> 26).astype(jnp.int32), 0)
@@ -196,6 +226,38 @@ def encode_device(
     }
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "B", "words_cap", "max_len", "interpret", "gather", "alphabet_cap",
+        "tiers",
+    ),
+)
+def encode_device_bytes(
+    data_bytes: jax.Array,  # (n_lanes * B * 2,) uint8, zero-padded
+    n_pairs: jax.Array,
+    B: int,
+    words_cap: int | None = None,
+    max_len: int = MAX_CODE_LEN,
+    interpret: bool = False,
+    gather: str = "auto",
+    alphabet_cap: int | None = None,
+    tiers: tuple[int, ...] = DEFAULT_TIERS,
+):
+    """Container front end of ``encode_device``: ships RAW BYTES through
+    the host->device link (half the volume of int32 symbols — the ~50 MB/s
+    tunnel, not the kernels, bounds container wall time here) and forms
+    byte-pair symbols on device. One program end to end."""
+    from .histogram import bytes_to_symbols_device
+
+    symbols = bytes_to_symbols_device(data_bytes)
+    return encode_device(
+        symbols, n_pairs, B, words_cap=words_cap, max_len=max_len,
+        interpret=interpret, gather=gather, alphabet_cap=alphabet_cap,
+        tiers=tiers,
+    )
+
+
 def streams_to_kernel_layout(streams: jax.Array, rows_bucket: int = 64):
     """(ngroups, width) device streams -> the (ngroups*rows, 128) layout
     the Pallas decoder consumes (device twin of interleave.pad_streams;
@@ -248,29 +310,23 @@ def encode_device_auto(
     max_len: int = MAX_CODE_LEN,
     words_cap: int | None = None,
     interpret: bool = False,
-    ladder: tuple[int | None, ...] = (8192, 16384, 32768, None),
 ):
-    """``encode_device`` with the documented fallback ladder applied.
+    """``encode_device`` with the residual fallback applied.
 
-    Runs the fast tier (rank-select gather + capped codebook) at each cap
-    in ``ladder`` until a run reports ``ok``; a ``None`` rung means the
-    exact xla tier (any alphabet). Each rung past the first costs one
-    extra device round trip, which only wide-alphabet inputs (rare for
-    compressible data; the incompressible ones store raw anyway) ever pay.
-    Returns the first valid result dict.
+    Since r3 the fast tier's in-program alphabet tiers reach the full
+    16-bit alphabet, so for ``max_len <= 26`` the FIRST run is always
+    valid and this is a plain call. The only remaining rung is the
+    ``max_len > 26`` case (codes too wide for the len<<26 packing), which
+    goes straight to the exact xla tier. Returns the result dict.
     """
-    r = None
-    for cap in ladder:
-        kw = dict(
-            words_cap=words_cap, max_len=max_len, interpret=interpret,
+    if max_len <= 26:
+        r = encode_device(
+            symbols, n_pairs, B, words_cap=words_cap, max_len=max_len,
+            interpret=interpret,
         )
-        if cap is None:
-            kw.update(gather="xla", alphabet_cap=None)
-        else:
-            if max_len > 26:
-                continue  # fast tier requires 26-bit codes
-            kw.update(alphabet_cap=cap)
-        r = encode_device(symbols, n_pairs, B, **kw)
         if bool(r["ok"]):
             return r
-    return r
+    return encode_device(
+        symbols, n_pairs, B, words_cap=words_cap, max_len=max_len,
+        interpret=interpret, gather="xla", alphabet_cap=None,
+    )

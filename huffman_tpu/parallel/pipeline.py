@@ -223,7 +223,7 @@ def compress_decompress_step(mesh: Mesh, axis: str = "dp"):
     jax.jit,
     static_argnames=(
         "mesh", "axis", "B", "words_cap", "max_len", "alphabet_cap",
-        "interpret",
+        "interpret", "tiers",
     ),
 )
 def distributed_encode_streams(
@@ -233,16 +233,21 @@ def distributed_encode_streams(
     B: int,
     words_cap: int,
     max_len: int = 18,
-    alphabet_cap: int | None = 8192,
+    alphabet_cap: int | None = None,
     interpret: bool = False,
     axis: str = "dp",
+    tiers: tuple[int, ...] | None = None,
 ):
     """The FLAGSHIP fused encode, sharded over the mesh: per-shard Pallas
-    histogram + ``psum`` (the all-reduce rides ICI/DCN), the capped
+    histogram + ``psum`` (the all-reduce rides ICI/DCN), the tiered
     package-merge codebook and rank-select dictionary built from the
-    replicated histogram on every device, then each device gathers + packs
-    its own group shard into interleaved streams (embarrassingly parallel;
-    group counts are all-gathered for ordered container assembly).
+    replicated histogram on every device (``fused.tiered_code_gather`` —
+    the same data-adaptive alphabet tiers as the single-chip fused
+    encoder, exact to the full 16-bit alphabet), then each device gathers
+    + packs its own group shard into interleaved streams (embarrassingly
+    parallel; group counts are all-gathered for ordered container
+    assembly). ``ok`` is structurally True for ``max_len <= 26`` unless an
+    explicit ``alphabet_cap`` reinstates the flag-past-the-cap contract.
 
     Per-device lane count must be a multiple of GROUP_LANES. Returns
     (streams (ngroups, 2048+cap') u32 sharded on groups, counts (ngroups,)
@@ -256,10 +261,11 @@ def distributed_encode_streams(
         device_canonical_tables,
         device_code_lengths,
     )
+    from ..ops.fused import DEFAULT_TIERS, tiered_code_gather
     from ..ops.histogram import histogram_matmul
     from ..ops.pallas_encode import pack_streams_pallas
-    from ..ops.pallas_gather import build_rank_select, gather_rank_select
 
+    tiers = DEFAULT_TIERS if tiers is None else tiers
     n_total = symbols.shape[0]
     n_lanes = n_total // B
     n_dev = mesh.shape[axis]
@@ -286,26 +292,28 @@ def distributed_encode_streams(
         ok = jnp.bool_(True)
         if alphabet_cap is not None:
             ok = ok & (n_unique <= alphabet_cap)
-        lengths = device_code_lengths(
-            hist_all, max_len=max_len, alphabet_cap=alphabet_cap
-        )
-        enc_codes, enc_lens, *_ = device_canonical_tables(lengths)
 
         sym2 = sym_flat.reshape(lanes_loc, B)
         val2 = valid.reshape(lanes_loc, B)
-        if max_len > 26:
-            # len<<26 packing overflows past 26-bit codes: two-table gather
-            codes, lens = enc.gather_codes(sym2, enc_codes, enc_lens, val2)
-        elif interpret:
-            enc_packed = (enc_lens.astype(jnp.uint32) << 26) | enc_codes
-            codes, lens = enc.gather_codes_packed(sym2, enc_packed, val2)
+        if max_len > 26 or interpret:
+            # len<<26 packing overflows past 26-bit codes; the interpreter
+            # stays on the XLA gather (the lane-gather tree is for Mosaic).
+            lengths = device_code_lengths(
+                hist_all, max_len=max_len, alphabet_cap=alphabet_cap
+            )
+            enc_codes, enc_lens, *_ = device_canonical_tables(lengths)
+            if max_len > 26:
+                codes, lens = enc.gather_codes(sym2, enc_codes, enc_lens, val2)
+            else:
+                enc_packed = (enc_lens.astype(jnp.uint32) << 26) | enc_codes
+                codes, lens = enc.gather_codes_packed(sym2, enc_packed, val2)
         else:
-            enc_packed = (enc_lens.astype(jnp.uint32) << 26) | enc_codes
-            maskw, cums, dense, pack_ok = build_rank_select(
-                enc_packed, lengths > 0, cap=alphabet_cap or 8192
+            lengths, _, _, _, packed, pack_ok = tiered_code_gather(
+                hist_all, n_unique, sym2, max_len=max_len,
+                cap_top=alphabet_cap or MAX_SYMBOLS, tiers=tiers,
+                interpret=interpret,
             )
             ok = ok & pack_ok
-            packed = gather_rank_select(sym2, maskw, cums, dense)
             codes = jnp.where(val2, packed & jnp.uint32((1 << 26) - 1), 0)
             lens = jnp.where(val2, (packed >> 26).astype(jnp.int32), 0)
 

@@ -77,19 +77,16 @@ def main() -> int:
     print("2. Pallas slab packer matches XLA on chip")
 
     # 3. fused encoder vs host pipeline. This corpus has ~57k unique pairs
-    # — past the fast tier (alphabet_cap / rank-select dictionary), so the
-    # default run must FLAG ok=False and the documented fallback rerun
-    # (gather="xla", alphabet_cap=None) must match the host pipeline.
+    # — since r3 the fast tier's TOP alphabet tier covers the full 16-bit
+    # alphabet, so the default run must be ok=True AND byte-identical to
+    # the host; an explicit alphabet_cap must still flag; and the xla
+    # exact tier must also match.
     padded = np.zeros(n_lanes * B, np.int32)
     padded[: symbols.size] = symbols
     pad_dev = jnp.asarray(padded)
     np_dev = jnp.asarray(symbols.size, jnp.int32)
     r = encode_device(pad_dev, np_dev, B, max_len=18)
-    assert not bool(r["ok"]), "fast tier silently accepted a 57k alphabet"
-    r = encode_device(
-        pad_dev, np_dev, B, max_len=18, gather="xla", alphabet_cap=None
-    )
-    assert bool(r["ok"])
+    assert bool(r["ok"]), "full-alphabet fast tier flagged a 57k alphabet"
 
     def check_fused(r, syms, tag):
         fl = np.asarray(r["lengths"]).astype(np.uint8)
@@ -107,8 +104,16 @@ def main() -> int:
                 streams[g, : counts[g]], rs
             ), (tag, g)
 
-    check_fused(r, symbols, "xla-tier")
-    print("3. fused encoder (xla tier, flagged fallback) matches host on chip")
+    check_fused(r, symbols, "full-alphabet-fast-tier")
+    rcap = encode_device(pad_dev, np_dev, B, max_len=18, alphabet_cap=8192)
+    assert not bool(rcap["ok"]), "explicit alphabet_cap failed to flag"
+    rx = encode_device(
+        pad_dev, np_dev, B, max_len=18, gather="xla", alphabet_cap=None
+    )
+    assert bool(rx["ok"])
+    check_fused(rx, symbols, "xla-tier")
+    print("3. fused encoder at a 57k alphabet (full-alphabet fast tier, "
+          "capped flagging, xla exact tier) matches host on chip")
 
     # 4. the FAST tier (rank-select gather + capped codebook + Pallas
     # histogram) on an in-tier alphabet, bit-identical to the host.

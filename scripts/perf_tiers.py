@@ -1,0 +1,86 @@
+"""Alphabet-tier perf attribution on the chip (r3).
+
+Measures, with amortized in-jit repeats (K>=30; see CLAUDE.md):
+  - the package-merge codebook at each tier cap (bitonic-merge rounds);
+  - the fused encoder end-to-end at alphabets landing in each tier
+    (the VERDICT r2 wide-alphabet target: >= 1 GB/s at a 30k alphabet).
+
+Usage: python scripts/perf_tiers.py [size_mb]
+"""
+
+import functools
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def corpus(kind: str, nbytes: int, rng):
+    from huffman_tpu.utils.benchmark import silesia_like
+
+    if kind == "silesia":  # ~3k unique pairs
+        return silesia_like(nbytes, seed=7)
+    n = {"wide12k": 12000, "wide30k": 30000, "wide60k": 60000}[kind]
+    a = rng.choice(65536, n, replace=False).astype(np.uint16)
+    p = 1.0 / np.arange(1, n + 1) ** 0.65
+    p /= p.sum()
+    return rng.choice(a, nbytes // 2, p=p).astype("<u2").view(np.uint8)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from huffman_tpu.constants import GROUP_LANES, MAX_SYMBOLS
+    from huffman_tpu.ops.device_codebook import device_code_lengths
+    from huffman_tpu.ops.fused import encode_device
+    from huffman_tpu.utils.timing import amortized_time_fn
+
+    size_mb = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    nbytes = size_mb << 20
+    B = 512
+    rng = np.random.default_rng(3)
+
+    def rec(name, sec, data_bytes=None):
+        line = f"{name:44s} {sec*1e3:9.3f} ms"
+        if data_bytes:
+            line += f"   {data_bytes/sec/1e9:7.3f} GB/s"
+        print(line, flush=True)
+
+    # -- codebook at each cap (silesia histogram; cap sets the cost) ------
+    data = corpus("silesia", nbytes, rng)
+    symbols = data[: data.size & ~1].view("<u2").astype(np.int32)
+    freqs = np.bincount(symbols, minlength=MAX_SYMBOLS).astype(np.int32)
+    hist_dev = jax.device_put(jnp.asarray(freqs))
+    for cap in (4096, 8192, 16384, 32768, 65536, None):
+        rec(f"codebook package-merge cap={cap}",
+            amortized_time_fn(
+                functools.partial(device_code_lengths, max_len=18,
+                                  alphabet_cap=cap),
+                hist_dev, 40))
+
+    # -- fused encoder per tier -------------------------------------------
+    for kind in ("silesia", "wide12k", "wide30k", "wide60k"):
+        data = corpus(kind, nbytes, rng)
+        symbols = data[: data.size & ~1].view("<u2").astype(np.int32)
+        n_pairs = symbols.size
+        n_real = (n_pairs + B - 1) // B
+        n_lanes = (n_real + GROUP_LANES - 1) // GROUP_LANES * GROUP_LANES
+        padded = np.zeros(n_lanes * B, np.int32)
+        padded[:n_pairs] = symbols
+        pad_dev = jax.device_put(jnp.asarray(padded))
+        np_dev = jnp.asarray(n_pairs, jnp.int32)
+        nuniq = int((np.bincount(symbols, minlength=MAX_SYMBOLS) > 0).sum())
+
+        r = encode_device(pad_dev, np_dev, B, max_len=18)
+        assert bool(r["ok"]), kind
+        rec(f"FUSED encode {kind} (n_unique={nuniq})",
+            amortized_time_fn(
+                lambda a: encode_device(a, np_dev, B, max_len=18)["streams"],
+                pad_dev, 30),
+            data_bytes=n_pairs * 2)
+
+
+if __name__ == "__main__":
+    main()

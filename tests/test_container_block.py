@@ -106,3 +106,67 @@ def test_stored_mode_crc():
     blob[100] ^= 1
     with pytest.raises(ValueError, match="CRC|corrupt"):
         bf.decompress(bytes(blob), backend="numpy")
+
+
+def test_fused_container_matches_host():
+    """The whole-pipeline fused device encode (_compress_v2_fused — here
+    in interpret mode with a small explicit cap so the CPU interpreter
+    stays fast) emits a container BYTE-IDENTICAL to the host path: the
+    codebook single-sourcing (cap-invariant package-merge on both sides)
+    plus the chip-checked interleave protocol. On hardware the same
+    identity is asserted by scripts/chip_check.py over the real tiers."""
+    from huffman_tpu.container.reference_format import bytes_to_symbols
+
+    rng = np.random.default_rng(9)
+    a = rng.choice(65536, 300, replace=False).astype(np.uint16)
+    p = 1.0 / np.arange(1, 301) ** 1.2
+    p /= p.sum()
+    base = rng.choice(a, 60000, p=p).astype("<u2").tobytes()
+    for data in (base, base + b"\x07"):  # even and odd byte lengths
+        host = bf.compress(data, backend="numpy", block_symbols=512)
+        symbols, is_odd, last_byte = bytes_to_symbols(data)
+        B = 512
+        nblocks = (symbols.size + B - 1) // B
+        blob, cb = bf._compress_v2_fused(
+            data, symbols, is_odd, last_byte, B, nblocks, 18,
+            interpret=True, alphabet_cap=4096,
+        )
+        assert blob == host
+        assert cb.max_len <= 18
+        assert bf.decompress(blob, backend="numpy") == data
+
+
+def test_fused_container_cap_overflow_raises():
+    """An explicit (test-only) alphabet cap that this input's alphabet
+    overflows must raise, never emit garbage container bytes."""
+    from huffman_tpu.container.reference_format import bytes_to_symbols
+
+    rng = np.random.default_rng(11)
+    data = rng.integers(0, 65536, 40000, dtype=np.uint16).astype("<u2").tobytes()
+    symbols, is_odd, last_byte = bytes_to_symbols(data)
+    B = 512
+    nblocks = (symbols.size + B - 1) // B
+    with pytest.raises(ValueError, match="alphabet cap"):
+        bf._compress_v2_fused(
+            data, symbols, is_odd, last_byte, B, nblocks, 18,
+            interpret=True, alphabet_cap=1024,
+        )
+
+
+def test_host_codebook_is_package_merge():
+    """With max_code_len set (the default), the host container codebook is
+    the optimal length-limited package-merge code — the same construction
+    the fused device path runs, single-sourced for byte-identity."""
+    from huffman_tpu.ops.device_codebook import device_code_lengths
+
+    data = (b"abracadabra " * 3000)[:30001]
+    blob = bf.compress(data, backend="numpy")
+    c = bf.ParsedContainer(blob)
+    from huffman_tpu.container.reference_format import bytes_to_symbols, histogram_host
+
+    freqs = histogram_host(bytes_to_symbols(data)[0])
+    want = np.asarray(
+        device_code_lengths(freqs.astype(np.int32), max_len=18,
+                            alphabet_cap=4096)
+    ).astype(np.uint8)
+    assert np.array_equal(c.codebook.lengths, want)

@@ -118,3 +118,59 @@ def test_roundtrip_through_device_codebook():
     words, nbits = pack_codes(codes, lens)
     out = cb.decode_stream_host(words, 0, symbols.size)
     assert np.array_equal(out, symbols)
+
+
+def test_lengths_cap_invariant():
+    """Package-merge lengths are IDENTICAL for any alphabet_cap >=
+    n_unique (the sentinel-padded list tails saturate and never enter the
+    level counts). Two load-bearing consumers: the fused encoder's
+    lax.switch tier ladder (ops/fused.py) and the container's host/device
+    codebook single-sourcing (container/block_format._host_codebook) both
+    assume any rung >= n_unique yields the same codebook."""
+    rng = np.random.default_rng(17)
+    for nal, expo in ((3, 1.0), (700, 1.1), (2500, 0.65)):
+        a = rng.choice(65536, nal, replace=False)
+        p = 1.0 / np.arange(1, nal + 1) ** expo
+        p /= p.sum()
+        syms = rng.choice(a, 100000, p=p)
+        freqs = np.bincount(syms, minlength=MAX_SYMBOLS).astype(np.int32)
+        ref = np.asarray(
+            device_code_lengths(freqs, max_len=18, alphabet_cap=None)
+        )
+        for cap in (4096, 16384):
+            got = np.asarray(
+                device_code_lengths(freqs, max_len=18, alphabet_cap=cap)
+            )
+            assert np.array_equal(got, ref), (nal, cap)
+
+
+def test_numpy_twin_matches_device():
+    """codebook.package_merge_lengths (pure NumPy, the host container
+    builder) must be BIT-IDENTICAL per symbol to device_code_lengths —
+    host- and device-built containers share one codebook construction."""
+    from huffman_tpu.codebook import package_merge_lengths
+
+    rng = np.random.default_rng(23)
+    cases = []
+    for nal, expo in ((2, 1.0), (40, 1.4), (300, 1.1), (2500, 0.7),
+                      (6000, 0.5)):
+        a = rng.choice(MAX_SYMBOLS, nal, replace=False)
+        p = 1.0 / np.arange(1, nal + 1) ** expo
+        p /= p.sum()
+        syms = rng.choice(a, 80000, p=p)
+        cases.append(np.bincount(syms, minlength=MAX_SYMBOLS))
+    # heavy weight ties: uniform counts force the leaf/package tie rule
+    a = rng.choice(MAX_SYMBOLS, 1000, replace=False)
+    ties = np.zeros(MAX_SYMBOLS, np.int64)
+    ties[a] = 7
+    cases.append(ties)
+    one = np.zeros(MAX_SYMBOLS, np.int64)
+    one[12345] = 99
+    cases.append(one)
+    for max_len in (12, 18):
+        for i, freqs in enumerate(cases):
+            host = package_merge_lengths(freqs, max_len)
+            dev = np.asarray(
+                device_code_lengths(freqs.astype(np.int32), max_len=max_len)
+            ).astype(np.uint8)
+            assert np.array_equal(host, dev), (max_len, i)

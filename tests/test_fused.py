@@ -104,9 +104,13 @@ def test_fused_displacement_tier_matches_host(tmp_path=None):
     n_lanes = (n_real + GROUP_LANES - 1) // GROUP_LANES * GROUP_LANES
     padded = np.zeros(n_lanes * B, np.int32)
     padded[:npairs] = symbols
+    # Small explicit ladder: the interpreter unrolls each tier's lane-
+    # gather tree, so tracing the default 65536 top tier would dominate
+    # test time without adding coverage (the real-ladder switch is chip
+    # territory — scripts/chip_check.py --sweep).
     r = encode_device(
         padded, np.int32(npairs), B, interpret=True, gather="displacement",
-        max_len=18,
+        max_len=18, tiers=(1024,), alphabet_cap=4096,
     )
     assert bool(r["ok"])
     cb = Codebook.from_lengths(np.asarray(r["lengths"]))
@@ -150,13 +154,14 @@ def test_fused_alphabet_cap_overflow_flags_not_silent():
     assert (got[hist > 0] > 0).all() and (got[hist == 0] == 0).all()
 
 
-def test_encode_device_auto_ladder():
-    """The ladder retries capped tiers and lands on a valid result for
-    both in-tier and wide alphabets."""
+def test_encode_device_auto():
+    """encode_device_auto returns a valid result for in-tier, wide, and
+    deep-code (max_len > 26) configurations — since r3 the in-program
+    tiers make the first run exact, with only the deep-code rung left."""
     from huffman_tpu.ops.fused import encode_device_auto
 
     B = 16
-    for seed, nalpha in ((21, 400), (22, 12000)):
+    for seed, nalpha, max_len in ((21, 400, 18), (22, 12000, 18), (23, 400, 32)):
         symbols = _case(seed, 30000, nalpha, zipf=False)
         npairs = symbols.size
         n_real = (npairs + B - 1) // B
@@ -164,8 +169,7 @@ def test_encode_device_auto_ladder():
         padded = np.zeros(n_lanes * B, np.int32)
         padded[:npairs] = symbols
         r = encode_device_auto(
-            padded, np.int32(npairs), B, max_len=18, interpret=True,
-            ladder=(1024, None),  # force a retry for the wide case
+            padded, np.int32(npairs), B, max_len=max_len, interpret=True,
         )
         assert bool(r["ok"])
         got = np.asarray(r["lengths"])
@@ -173,3 +177,32 @@ def test_encode_device_auto_ladder():
         assert (got[hist > 0] > 0).all()
         k = np.sum(np.where(got > 0, 2.0 ** (-got.astype(np.float64)), 0))
         assert abs(k - 1.0) < 1e-9
+
+
+def test_fused_tier_switch_matches_host():
+    """The data-adaptive lax.switch ladder: each rung (small explicit caps
+    so the interpreter stays fast) must select by n_unique and produce
+    streams byte-identical to the host pipeline."""
+    B = 16
+    for seed, nalpha in ((31, 100), (32, 700), (33, 2500)):
+        symbols = _case(seed, 12000, nalpha, zipf=False)
+        npairs = symbols.size
+        n_real = (npairs + B - 1) // B
+        n_lanes = (n_real + GROUP_LANES - 1) // GROUP_LANES * GROUP_LANES
+        padded = np.zeros(n_lanes * B, np.int32)
+        padded[:npairs] = symbols
+        r = encode_device(
+            padded, np.int32(npairs), B, interpret=True,
+            gather="displacement", max_len=18,
+            tiers=(256, 1024), alphabet_cap=4096,
+        )
+        assert bool(r["ok"]), nalpha
+        cb = Codebook.from_lengths(np.asarray(r["lengths"]).astype(np.uint8))
+        slab, _, lens = bf._encode_slab_numpy(symbols, cb, n_lanes, B)
+        min_len = int(cb.lengths[cb.lengths > 0].min())
+        eff = il.effective_lengths(lens, npairs, min_len, n_lanes, B)
+        ref = il.build_interleaved_streams(slab, eff, n_real)
+        streams, counts = np.asarray(r["streams"]), np.asarray(r["counts"])
+        for g, rs in enumerate(ref):
+            assert counts[g] == rs.size, (nalpha, g)
+            assert np.array_equal(streams[g, : counts[g]], rs), (nalpha, g)
