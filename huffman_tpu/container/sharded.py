@@ -40,7 +40,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..codebook import Codebook
 from . import block_format
 from .reference_format import bytes_to_symbols, histogram_host
 
@@ -95,8 +94,16 @@ def compress(
         else:
             hist = histogram_host(symbols)
         # The last shard may own an odd tail byte; it is stored raw and
-        # never histogrammed, so the global histogram is exact.
-        codebook = Codebook.from_frequencies(hist)
+        # never histogrammed, so the global histogram is exact. Build with
+        # the container's single-sourced constructor so the archive-level
+        # codebook honors the same depth limit (decode-kernel cost is
+        # linear in depth) and matches what a device-side build would emit.
+        from ..constants import DEFAULT_MAX_CODE_LEN
+
+        codebook = block_format._host_codebook(
+            hist, kwargs.get("max_code_len", DEFAULT_MAX_CODE_LEN),
+            symbols.size,
+        )
     elif codebook_mode != "per-shard":
         raise ValueError(f"unknown codebook_mode {codebook_mode!r}")
 

@@ -144,6 +144,13 @@ def _prefix_rank(mask: jax.Array, tril128: jax.Array):
     row_tot = jnp.broadcast_to(
         jnp.sum(m, axis=1, keepdims=True), mask.shape
     )  # (rows,128) float
+    if "fold" in _ABLATE:
+        # v3 ceiling probe (HTPU_ABLATE=fold): per-128-lane-row refill
+        # domains would need no cross-sublane fold — rank within the row
+        # only. Output is WRONG; cost model for the protocol-v3 analysis
+        # (CLAUDE.md parked ideas / VERDICT r2 weak #2).
+        total = jnp.sum(m).astype(jnp.int32)
+        return within, total
     sub = jax.lax.broadcasted_iota(jnp.int32, mask.shape, 0)
     inc = row_tot
     sh = 1
@@ -274,12 +281,25 @@ def _decode_kernel(
                 stream_ref[j * stream_rows : j * stream_rows + WINDOW_ROWS, :],
                 jnp.int32,
             ) + head
+        elif "win2" in _ABLATE:
+            # v3 ceiling probe: per-row refill domains bound each row's
+            # window to <= 2 stream rows (<= 128 refills per row-step +
+            # cursor slack), so the gather select tree collapses 9 -> 2
+            # leaves. Output is WRONG (shared head, not per-row); cost
+            # model only — pair with HTPU_ABLATE=fold for the full v3
+            # ceiling.
+            window = pltpu.bitcast(
+                stream_ref[pl.ds(j * stream_rows + (head >> 7), 2), :],
+                jnp.int32,
+            )
         else:
             window = pltpu.bitcast(
                 stream_ref[pl.ds(j * stream_rows + (head >> 7), WINDOW_ROWS), :],
                 jnp.int32,
             )
         slot = (head & 127) + k
+        if "win2" in _ABLATE:
+            slot = slot & 255
         if "gather" in _ABLATE:
             word = pltpu.bitcast(window[0:SUBLANES, :] + slot, jnp.uint32)
         else:
