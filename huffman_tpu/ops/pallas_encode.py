@@ -36,17 +36,23 @@ from .pallas_decode import (
 )
 
 
-def _pack_kernel(codes_ref, lens_ref, out_ref, *, n_steps: int):
-    """codes/lens: (n_steps, 8, 128) for this group's symbols (step-major);
-    out: (n_steps + 1, 8, 128) staging — row t holds the word completed at
-    step t (0 if none), row n_steps the final partial word (left-aligned).
+def _pack_kernel(codes_ref, lens_ref, out_ref, *, n_steps: int,
+                 multi: int = 1):
+    """codes/lens: (multi*n_steps, 8, 128) step-major symbol tiles for
+    ``multi`` groups; out: (multi*(n_steps+1), 8, 128) staging — row
+    j*(n_steps+1)+t holds group j's word completed at step t (0 if none),
+    row j*(n_steps+1)+n_steps its final partial word (left-aligned).
+
+    ``multi`` interleaves independent groups in one loop, decode-`multi`
+    style: the per-lane (buf, fill) carry is a serial dependency chain, so
+    extra chains fill the VPU's latency bubbles at no extra traffic.
     """
     shape = (SUBLANES, LANES)
 
-    def body(t, carry):
+    def chain_step(j, t, carry):
         buf, f = carry  # partial word (top f bits valid), fill count
-        c = codes_ref[t]
-        L = lens_ref[t]
+        c = codes_ref[j * n_steps + t]
+        L = lens_ref[j * n_steps + t]
         total = f + L
         tot_u = total.astype(jnp.uint32)
         # Bits of c placed after the f valid bits of a 64-bit window:
@@ -60,7 +66,9 @@ def _pack_kernel(codes_ref, lens_ref, out_ref, *, n_steps: int):
         addA = jnp.where(L == 0, jnp.uint32(0), addA)
         word = buf | addA
         emit = total >= 32
-        out_ref[t] = pltpu.bitcast(jnp.where(emit, word, jnp.uint32(0)), jnp.int32)
+        out_ref[j * (n_steps + 1) + t] = pltpu.bitcast(
+            jnp.where(emit, word, jnp.uint32(0)), jnp.int32
+        )
         spill = jnp.where(
             total > 32,
             c << ((jnp.uint32(64) - tot_u) & jnp.uint32(31)),
@@ -70,11 +78,22 @@ def _pack_kernel(codes_ref, lens_ref, out_ref, *, n_steps: int):
         f = total & 31
         return buf, f
 
-    buf, f = jax.lax.fori_loop(
+    def body(t, carries):
+        return tuple(
+            chain_step(j, t, carries[j]) for j in range(multi)
+        )
+
+    carries = jax.lax.fori_loop(
         0, n_steps, body,
-        (jnp.zeros(shape, jnp.uint32), jnp.zeros(shape, jnp.int32)),
+        tuple(
+            (jnp.zeros(shape, jnp.uint32), jnp.zeros(shape, jnp.int32))
+            for _ in range(multi)
+        ),
     )
-    out_ref[n_steps] = pltpu.bitcast(buf, jnp.int32)
+    for j in range(multi):
+        out_ref[j * (n_steps + 1) + n_steps] = pltpu.bitcast(
+            carries[j][0], jnp.int32
+        )
 
 
 def _to_grid(a: jax.Array) -> jax.Array:
@@ -89,35 +108,60 @@ def _to_grid(a: jax.Array) -> jax.Array:
     )
 
 
-def _staging_grid(codes: jax.Array, lens: jax.Array, interpret: bool) -> jax.Array:
+# Staging-chain interleave width (decode-DEFAULT_MULTI analog). 1 until a
+# chip measurement justifies more — flip after scripts/perf_encode.py
+# shows a win (the staging wall is ~1.7 ms / 16 MiB, so the ceiling is
+# small but nonzero).
+DEFAULT_STAGING_MULTI = 1
+
+
+def _staging_grid(codes: jax.Array, lens: jax.Array, interpret: bool,
+                  multi: int = DEFAULT_STAGING_MULTI) -> jax.Array:
     """Run the pack kernel; returns staging (ngroups*(B+1), 8, 128) int32 in
     grid layout — tile t holds the words completed at step t, tile B the
-    final left-aligned partial words."""
+    final left-aligned partial words. ``multi`` interleaves that many
+    groups per kernel instance (padding with zero groups; sliced off)."""
     nblocks, B = codes.shape
     ngroups = nblocks // GROUP_LANES
-    kernel = functools.partial(_pack_kernel, n_steps=B)
-    return pl.pallas_call(
+    multi = max(1, min(multi, max(ngroups, 1)))
+    cg = _to_grid(codes.astype(jnp.uint32))
+    lg = _to_grid(lens.astype(jnp.int32))
+    pad_g = (-ngroups) % multi
+    if pad_g:
+        cg = jnp.concatenate(
+            [cg, jnp.zeros((pad_g * B, SUBLANES, LANES), cg.dtype)]
+        )
+        lg = jnp.concatenate(
+            [lg, jnp.zeros((pad_g * B, SUBLANES, LANES), lg.dtype)]
+        )
+    ngroups_p = ngroups + pad_g
+    kernel = functools.partial(_pack_kernel, n_steps=B, multi=multi)
+    out = pl.pallas_call(
         kernel,
-        grid=(ngroups,),
+        grid=(ngroups_p // multi,),
         in_specs=[
-            pl.BlockSpec((B, SUBLANES, LANES), lambda g: (g, 0, 0)),
-            pl.BlockSpec((B, SUBLANES, LANES), lambda g: (g, 0, 0)),
+            pl.BlockSpec((multi * B, SUBLANES, LANES), lambda g: (g, 0, 0)),
+            pl.BlockSpec((multi * B, SUBLANES, LANES), lambda g: (g, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((B + 1, SUBLANES, LANES), lambda g: (g, 0, 0)),
+        out_specs=pl.BlockSpec(
+            (multi * (B + 1), SUBLANES, LANES), lambda g: (g, 0, 0)
+        ),
         out_shape=jax.ShapeDtypeStruct(
-            (ngroups * (B + 1), SUBLANES, LANES), jnp.int32
+            (ngroups_p * (B + 1), SUBLANES, LANES), jnp.int32
         ),
         interpret=interpret,
-    )(_to_grid(codes.astype(jnp.uint32)), _to_grid(lens.astype(jnp.int32)))
+    )(cg, lg)
+    return out[: ngroups * (B + 1)] if pad_g else out
 
 
-def _staging(codes: jax.Array, lens: jax.Array, interpret: bool) -> jax.Array:
+def _staging(codes: jax.Array, lens: jax.Array, interpret: bool,
+             multi: int = DEFAULT_STAGING_MULTI) -> jax.Array:
     """Pack-kernel staging in (lane, step) order (nblocks, B+1) uint32."""
     nblocks, B = codes.shape
     ngroups = nblocks // GROUP_LANES
     return (
         jax.lax.bitcast_convert_type(
-            _staging_grid(codes, lens, interpret), jnp.uint32
+            _staging_grid(codes, lens, interpret, multi), jnp.uint32
         )
         .reshape(ngroups, B + 1, GROUP_LANES)
         .transpose(0, 2, 1)
@@ -192,7 +236,9 @@ def pack_streams_kernel_deposit(
     return streams, body_words + PRELOAD_WORDS * GROUP_LANES
 
 
-@functools.partial(jax.jit, static_argnames=("words_cap", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("words_cap", "interpret", "staging_multi")
+)
 def pack_streams_pallas(
     codes: jax.Array,     # (n_lanes, B) uint32 codewords (0 on garbage steps)
     eff_lens: jax.Array,  # (n_lanes, B) int32 PROTOCOL lengths (garbage steps
@@ -200,6 +246,7 @@ def pack_streams_pallas(
     n_real: jax.Array,    # scalar int32 real lane count
     words_cap: int,
     interpret: bool = False,
+    staging_multi: int = DEFAULT_STAGING_MULTI,
 ):
     """Pack + interleave in one pass: Pallas packer -> XLA reverse
     lookahead scan -> ONE sorted deposit scatter (device twin of
@@ -217,7 +264,7 @@ def pack_streams_pallas(
     n_lanes, B = codes.shape
     ngroups = n_lanes // GROUP_LANES
 
-    st = _staging(codes, eff_lens, interpret)  # (n_lanes, B+1)
+    st = _staging(codes, eff_lens, interpret, staging_multi)  # (n_lanes, B+1)
 
     lane = jnp.arange(n_lanes, dtype=jnp.int32)
     real = (lane < n_real)[:, None]

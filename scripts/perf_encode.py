@@ -110,6 +110,13 @@ def main():
             lambda a: pe.pack_streams_kernel_deposit(
                 a, eff, jnp.int32(n_real), words_cap=cap)[0],
             codes, 30))
+    for m in (2, 3):
+        rec(f"pack+deposit (scatter, multi={m})",
+            amortized_time_fn(
+                lambda a, m=m: pe.pack_streams_pallas(
+                    a, eff, jnp.int32(n_real), words_cap=cap,
+                    staging_multi=m)[0],
+                codes, 30))
 
     npairs_dev = jnp.asarray(n_pairs, jnp.int32)
     rec("FUSED fast tier (tight cap)",

@@ -158,3 +158,33 @@ def test_pack_streams_two_fires_later_identity():
             bits[l] += 32
             head += 1
     assert head == stream.size
+
+
+def test_staging_multi_invariant():
+    """The staging kernel's group-interleave width (decode-multi analog)
+    must not change output: multi 2/3 on a 3-group case and multi 2 on a
+    non-dividing 3-group case (zero-group padding) match multi=1."""
+    from huffman_tpu.ops.pallas_encode import _staging
+
+    codes, eff, slab, n_pairs, n_lanes = _random_protocol_case(
+        7, 2400, 16, 1, 32, 3
+    )
+    ref = np.asarray(
+        _staging(jnp.asarray(codes), jnp.asarray(eff), True, 1)
+    )
+    for multi in (2, 3):
+        got = np.asarray(
+            _staging(jnp.asarray(codes), jnp.asarray(eff), True, multi)
+        )
+        np.testing.assert_array_equal(got, ref, err_msg=f"multi={multi}")
+    # and through the full stream pack
+    r1 = pack_streams_pallas(
+        jnp.asarray(codes), jnp.asarray(eff), jnp.int32(2400),
+        words_cap=16 * GROUP_LANES, interpret=True, staging_multi=2,
+    )
+    r0 = pack_streams_pallas(
+        jnp.asarray(codes), jnp.asarray(eff), jnp.int32(2400),
+        words_cap=16 * GROUP_LANES, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(r1[0]), np.asarray(r0[0]))
+    np.testing.assert_array_equal(np.asarray(r1[1]), np.asarray(r0[1]))
