@@ -174,6 +174,13 @@ def package_merge_lengths(freqs: np.ndarray, max_len: int) -> np.ndarray:
         # SURVEY.md §4).
         lengths[sym] = 1
         return lengths
+    if max_len < 64 and n > (1 << max_len):
+        # Infeasible limit: package-merge would silently emit a
+        # non-prefix code (Kraft > 1) — fail loudly instead.
+        raise ValueError(
+            f"max_len={max_len} cannot encode {n} distinct symbols "
+            f"(needs >= {int(np.ceil(np.log2(n)))} bits)"
+        )
     w = freqs[sym].astype(np.int64)
     order = np.lexsort((sym, w))  # ascending (weight, symbol), like the
     # device's two-key lax.sort

@@ -417,7 +417,9 @@ def compress(
         and mode == "interleaved"
         and nblocks > 0
         and max_code_len is not None
-        and max_code_len <= 26
+        and 16 <= max_code_len <= 26  # >= 16: feasible for ANY byte-pair
+        # alphabet (the device program can't data-check feasibility; the
+        # host path raises a clean error for tighter limits)
         and n_pairs < (1 << 30)
         and _use_device()
         and (

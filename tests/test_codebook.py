@@ -131,3 +131,23 @@ def test_depth_limited_fallback_kraft_equality():
 
     if native.available():
         assert np.array_equal(native.code_lengths(freqs), py)
+
+
+def test_package_merge_infeasible_limit_raises():
+    """A depth limit too small for the alphabet must raise, not silently
+    emit a non-prefix (Kraft > 1) code."""
+    import numpy as np
+    import pytest
+
+    from huffman_tpu.codebook import package_merge_lengths
+
+    freqs = np.zeros(65536, np.int64)
+    freqs[:600] = np.arange(1, 601)
+    with pytest.raises(ValueError, match="cannot encode"):
+        package_merge_lengths(freqs, 9)
+    # and the container surfaces it rather than writing a corrupt blob
+    from huffman_tpu.container import block_format as bf
+
+    data = bytes(np.random.default_rng(0).integers(0, 256, 4096, dtype=np.uint8))
+    with pytest.raises(ValueError, match="cannot encode"):
+        bf.compress(data, backend="numpy", max_code_len=8)

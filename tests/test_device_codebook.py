@@ -169,6 +169,15 @@ def test_numpy_twin_matches_device():
     cases.append(one)
     for max_len in (12, 18):
         for i, freqs in enumerate(cases):
+            if int((freqs > 0).sum()) > (1 << max_len):
+                # Infeasible limit: the host raises (no prefix code
+                # exists); the device builder can't data-check this —
+                # the container gates it before dispatch.
+                import pytest
+
+                with pytest.raises(ValueError, match="cannot encode"):
+                    package_merge_lengths(freqs, max_len)
+                continue
             host = package_merge_lengths(freqs, max_len)
             dev = np.asarray(
                 device_code_lengths(freqs.astype(np.int32), max_len=max_len)
