@@ -11,6 +11,14 @@ across grid cells (int8 measured 1.45x the bf16 variant; int32
 accumulation is exact to 2^31 counts, beyond the container's 4 GiB
 bound, so no input splitting is needed).
 
+The one-hot COMPARES are done in the int8 domain (cast the byte and the
+iota to int8 before the ==): the byte values wrap 0..255 -> -128..127
+bijectively, so equality is preserved, and the VPU packs int8 lanes 4x
+denser than int32 — the compare stage was the measured VPU floor
+(CLAUDE.md: ~512 compare-ops/symbol in int32). ``cell`` (symbols per
+grid step) and ``int8_cmp`` are exposed for the perf harness
+(scripts/perf_hist.py) to sweep; defaults are the shipping config.
+
 Replaces the reference's global-memory atomicAdd loop
 (Compressor.cu:38-48); a TPU has no atomics — the MXU IS the accumulator.
 """
@@ -27,20 +35,28 @@ from jax.experimental.pallas import tpu as pltpu
 from ..constants import MAX_SYMBOLS
 from .pallas_decode import LANES
 
-_C = 4096  # symbols per grid cell
+_C = 4096  # symbols per grid cell (default; see histogram_pallas(cell=))
 
 
-def _hist_kernel(sym_ref, out_ref, acc_ref, *, cells: int):
+def _hist_kernel(sym_ref, out_ref, acc_ref, *, cells: int, C: int,
+                 int8_cmp: bool):
     g = pl.program_id(0)
 
     @pl.when(g == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    sym = sym_ref[:].reshape(1, _C)
-    ids = jax.lax.broadcasted_iota(jnp.int32, (256, _C), 0)
-    hi = jnp.broadcast_to(sym >> 8, (256, _C)) == ids
-    lo = jnp.broadcast_to(sym & 0xFF, (256, _C)) == ids
+    sym = sym_ref[:].reshape(1, C)
+    if int8_cmp:
+        # int8 wraps 0..255 bijectively onto -128..127: equality survives
+        # the cast, and the compares run on 4x-packed VPU lanes.
+        ids = jax.lax.broadcasted_iota(jnp.int32, (256, C), 0).astype(jnp.int8)
+        hi = jnp.broadcast_to((sym >> 8).astype(jnp.int8), (256, C)) == ids
+        lo = jnp.broadcast_to((sym & 0xFF).astype(jnp.int8), (256, C)) == ids
+    else:
+        ids = jax.lax.broadcasted_iota(jnp.int32, (256, C), 0)
+        hi = jnp.broadcast_to(sym >> 8, (256, C)) == ids
+        lo = jnp.broadcast_to(sym & 0xFF, (256, C)) == ids
     acc_ref[:] += jax.lax.dot_general(
         hi.astype(jnp.int8),
         lo.astype(jnp.int8),
@@ -53,24 +69,33 @@ def _hist_kernel(sym_ref, out_ref, acc_ref, *, cells: int):
         out_ref[:] = acc_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def histogram_pallas(symbols: jax.Array, interpret: bool = False) -> jax.Array:
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "cell", "int8_cmp")
+)
+def histogram_pallas(
+    symbols: jax.Array,
+    interpret: bool = False,
+    cell: int = _C,
+    int8_cmp: bool = False,
+) -> jax.Array:
     """Dense (MAX_SYMBOLS,) int32 histogram of int32 byte-pair symbols."""
     flat = symbols.reshape(-1).astype(jnp.int32)
     n = flat.shape[0]
     if n == 0:
         return jnp.zeros((MAX_SYMBOLS,), jnp.int32)
-    pad = (-n) % _C
+    pad = (-n) % cell
     if pad:
         # Padding routes to symbol 0; corrected below.
         flat = jnp.concatenate([flat, jnp.zeros(pad, jnp.int32)])
-    cells = flat.shape[0] // _C
-    grid_sym = flat.reshape(cells * (_C // LANES), LANES)
-    kernel = functools.partial(_hist_kernel, cells=cells)
+    cells = flat.shape[0] // cell
+    grid_sym = flat.reshape(cells * (cell // LANES), LANES)
+    kernel = functools.partial(
+        _hist_kernel, cells=cells, C=cell, int8_cmp=int8_cmp
+    )
     out = pl.pallas_call(
         kernel,
         grid=(cells,),
-        in_specs=[pl.BlockSpec((_C // LANES, LANES), lambda g: (g, 0))],
+        in_specs=[pl.BlockSpec((cell // LANES, LANES), lambda g: (g, 0))],
         out_specs=pl.BlockSpec((256, 256), lambda g: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((256, 256), jnp.int32),
         scratch_shapes=[pltpu.VMEM((256, 256), jnp.int32)],

@@ -55,6 +55,29 @@ def test_histogram_scatter_with_valid_count():
     assert got[5] == 2 and got[7] == 1 and got[9] == 1
 
 
+@pytest.mark.parametrize("cell,int8_cmp", [(4096, False), (4096, True),
+                                           (8192, True), (16384, True)])
+def test_histogram_pallas_variants_match_bincount(cell, int8_cmp):
+    """The Pallas histogram's perf knobs (cell width, int8-domain
+    compares) are bit-invariant: int8 wraps 0..255 onto -128..127
+    bijectively, so equality survives the cast. Interpret mode; the chip
+    re-proof is perf_hist.py's pre-timing check."""
+    from huffman_tpu.ops.pallas_hist import histogram_pallas
+
+    rng = np.random.default_rng(5)
+    # 517 past the cell multiple: exercises the pad-to-cell correction
+    symbols = _random_symbols(rng, 3 * 16384 + 517, alphabet_size=3000)
+    # edge bytes on both sides of the int8 wrap point, and symbol 0
+    # (shares the padding-correction bin)
+    symbols[:8] = [0, 127, 128, 255, 0x7F00, 0x8000, 0xFF00, 0xFFFF]
+    expected = np.bincount(symbols, minlength=MAX_SYMBOLS)
+    got = np.asarray(histogram_pallas(
+        jnp.asarray(symbols.astype(np.int32)), interpret=True,
+        cell=cell, int8_cmp=int8_cmp,
+    ))
+    np.testing.assert_array_equal(got, expected)
+
+
 def _encode_blocks_host(cb, symbols, nblocks, B):
     """Pack each block independently with the NumPy bit packer."""
     slabs = []
