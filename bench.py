@@ -48,11 +48,9 @@ def _wide30k(nbytes: int, seed: int = 3) -> np.ndarray:
     """Zipf data over 30,000 unique byte-pair symbols (~2x the 16K tier
     boundary: lands in the full-alphabet top tier on encode and the rank
     tier + in-jit translate on decode)."""
-    rng = np.random.default_rng(seed)
-    a = rng.choice(65536, 30000, replace=False).astype(np.uint16)
-    p = 1.0 / np.arange(1, 30001) ** 0.65
-    p /= p.sum()
-    return rng.choice(a, nbytes // 2, p=p).astype("<u2").view(np.uint8)
+    from huffman_tpu.utils.benchmark import zipf_pairs
+
+    return zipf_pairs(nbytes, 30000, np.random.default_rng(seed))
 
 
 def _emit(metric, gbps, denom):
@@ -114,6 +112,14 @@ def bench_pair(data: np.ndarray, tag: str, on_tpu: bool,
         jnp.asarray(meta),
     )
 
+    # Rank-tier alphabets (translate=False) must include the in-jit
+    # packed-16 rank->symbol translation in the timed program — the
+    # container's device path runs it in the same jit, and the metric
+    # claims COMPLETE decode (to symbols, not ranks).
+    sym_order_dev = (
+        None if translate else jnp.asarray(cb.sym_order.astype(np.int32))
+    )
+
     def run(streams_dev):
         # packed_out: the kernel's 16-bit pair words ARE the final symbol
         # stream — the complete decode, without an unpack the container
@@ -122,6 +128,7 @@ def bench_pair(data: np.ndarray, tag: str, on_tpu: bool,
             streams_dev, *args[1:], B, rows_per, sym_rows,
             max_len=max(cb.max_len, 1), translate=translate,
             min_len=min_len, interpret=not on_tpu, packed_out=translate,
+            sym_order_dev=sym_order_dev,
         )
 
     out = np.asarray(run(args[0]))
@@ -135,8 +142,8 @@ def bench_pair(data: np.ndarray, tag: str, on_tpu: bool,
             .astype(np.int64)
         )
     else:
+        # sym_order_dev translated in-program: the output IS symbols.
         dec = out.reshape(ngroups, B, 8, 128).transpose(0, 2, 3, 1).reshape(-1)[:n_pairs]
-        dec = cb.sym_order.astype(np.int64)[np.clip(dec, 0, cb.n_unique - 1)]
     assert np.array_equal(dec, symbols), "decode mismatch — benchmark invalid"
 
     # iters must swamp the ~60 ms tunneled dispatch: at iters=20 the

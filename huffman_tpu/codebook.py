@@ -160,9 +160,13 @@ def package_merge_lengths(freqs: np.ndarray, max_len: int) -> np.ndarray:
     it. Pure NumPy: no jit, no compile cost on the host path.
 
     Parameters: ``freqs`` dense (MAX_SYMBOLS,) histogram; ``max_len`` the
-    length limit L (requires n_unique <= 2**L). Returns (MAX_SYMBOLS,)
-    uint8 lengths, 0 for absent symbols.
+    length limit L (requires n_unique <= 2**L). Limits beyond MAX_CODE_LEN
+    clamp to it: no physical input needs a length > 32 (that would take
+    > 2^32 Fibonacci-skewed counts), and nothing downstream (Codebook
+    tables, 32-bit decode windows) can represent one. Returns
+    (MAX_SYMBOLS,) uint8 lengths, 0 for absent symbols.
     """
+    max_len = min(max_len, MAX_CODE_LEN)
     lengths = np.zeros(MAX_SYMBOLS, dtype=np.uint8)
     present = freqs > 0
     n = int(present.sum())
@@ -174,7 +178,7 @@ def package_merge_lengths(freqs: np.ndarray, max_len: int) -> np.ndarray:
         # SURVEY.md §4).
         lengths[sym] = 1
         return lengths
-    if max_len < 64 and n > (1 << max_len):
+    if n > (1 << max_len):  # max_len <= 32 after the clamp, so no overflow
         # Infeasible limit: package-merge would silently emit a
         # non-prefix code (Kraft > 1) — fail loudly instead.
         raise ValueError(

@@ -45,13 +45,14 @@ PRELOAD_WORDS = 2        # stream words 0,1 of every lane head the stream
 REFILL_THRESHOLD = 33    # lanes refill below this many live bits
 WINDOW_ROWS = GROUP_LANES // 128 + 1  # decoder refill-window rows
 
-# Data-adaptive alphabet tiers shared by the fused device encoder (which
-# selects by n_unique under lax.switch, ops/fused.py) and the host
-# codebook builder (which picks the smallest tier >= this input's
-# n_unique). Package-merge lengths are invariant to any cap >= n_unique
-# (sentinel-padded tails never enter the level counts; pinned by
-# tests/test_device_codebook.py), so both sides land on identical
-# codebooks — the container's device/host byte-identity rests on this.
+# Data-adaptive alphabet tiers for the fused device encoder: it selects
+# the smallest tier >= this input's n_unique under lax.switch
+# (ops/fused.py), so small alphabets pay small per-round sorts. The HOST
+# builder (codebook.package_merge_lengths) runs uncapped — byte-identity
+# between host- and device-built containers rests solely on package-merge
+# lengths being invariant to any cap >= n_unique (sentinel-padded tails
+# never enter the level counts; pinned by tests/test_device_codebook.py),
+# NOT on the host consulting these tiers.
 ALPHABET_TIERS = (4096, 16384, MAX_SYMBOLS)
 
 # Native container magic / version.

@@ -449,14 +449,13 @@ def compress(
     return out
 
 
-def _host_codebook(freqs, max_code_len, n_pairs):
+def _host_codebook(freqs, max_code_len):
     """Container codebook from host-side frequencies: optimal
     length-limited package-merge at ``max_code_len`` via the pure-NumPy
     twin (codebook.package_merge_lengths — bit-identical to the fused
     device encoder's on-chip construction, so host- and device-built
     containers match byte for byte; no jit or JAX dependency on this
     path). ``max_code_len=None`` selects the unlimited two-queue code."""
-    del n_pairs
     if max_code_len is not None:
         from ..codebook import package_merge_lengths
 
@@ -471,9 +470,7 @@ def _compress_host_codebook(data, symbols, is_odd, last_byte, codebook, B,
     the payload may still pack on device (`_encode_streams_jax`). Returns
     ``(container_bytes, codebook)``."""
     if codebook is None:
-        codebook = _host_codebook(
-            histogram_host(symbols), max_code_len, symbols.size
-        )
+        codebook = _host_codebook(histogram_host(symbols), max_code_len)
 
     if mode == "interleaved":
         out = _compress_v2(

@@ -101,8 +101,7 @@ def compress(
         from ..constants import DEFAULT_MAX_CODE_LEN
 
         codebook = block_format._host_codebook(
-            hist, kwargs.get("max_code_len", DEFAULT_MAX_CODE_LEN),
-            symbols.size,
+            hist, kwargs.get("max_code_len", DEFAULT_MAX_CODE_LEN)
         )
     elif codebook_mode != "per-shard":
         raise ValueError(f"unknown codebook_mode {codebook_mode!r}")

@@ -12,6 +12,23 @@ from dataclasses import dataclass
 
 import numpy as np
 
+def zipf_pairs(
+    n_bytes: int,
+    n_unique: int,
+    rng: np.random.Generator,
+    expo: float = 0.65,
+) -> np.ndarray:
+    """Zipf(expo) byte-pair corpus over ``n_unique`` uniformly-drawn 16-bit
+    symbols — the shared wide-alphabet recipe (bench.py's wide30k metric,
+    scripts/perf_tiers.py's tier sweep, chip_check's rank20k sweep case all
+    use THIS function so their corpora stay statistically comparable).
+    Returns uint8 bytes, little-endian pairs."""
+    a = rng.choice(65536, n_unique, replace=False).astype(np.uint16)
+    p = 1.0 / np.arange(1, n_unique + 1) ** expo
+    p /= p.sum()
+    return rng.choice(a, n_bytes // 2, p=p).astype("<u2").view(np.uint8)
+
+
 def silesia_like(n_bytes: int, seed: int = 0) -> np.ndarray:
     """Synthetic corpus with text-like symbol statistics (no network access
     to the real Silesia corpus in this environment): a Zipf-distributed

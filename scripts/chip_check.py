@@ -162,10 +162,9 @@ def _sweep_data(rng, kind, nbytes):
     if kind == "rank20k":
         # > GATHER_MAX_ALPHABET unique symbols but still compressible:
         # exercises rank-mode decode + the in-jit rank->symbol translation.
-        a = rng.choice(65536, 20000, replace=False).astype(np.uint16)
-        p = 1.0 / np.arange(1, 20001) ** 0.65
-        p /= p.sum()
-        return rng.choice(a, nbytes // 2, p=p).astype("<u2").tobytes()
+        from huffman_tpu.utils.benchmark import zipf_pairs
+
+        return zipf_pairs(nbytes, 20000, rng).tobytes()
     raise ValueError(kind)
 
 

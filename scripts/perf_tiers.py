@@ -21,11 +21,10 @@ def corpus(kind: str, nbytes: int, rng):
 
     if kind == "silesia":  # ~3k unique pairs
         return silesia_like(nbytes, seed=7)
+    from huffman_tpu.utils.benchmark import zipf_pairs
+
     n = {"wide12k": 12000, "wide30k": 30000, "wide60k": 60000}[kind]
-    a = rng.choice(65536, n, replace=False).astype(np.uint16)
-    p = 1.0 / np.arange(1, n + 1) ** 0.65
-    p /= p.sum()
-    return rng.choice(a, nbytes // 2, p=p).astype("<u2").view(np.uint8)
+    return zipf_pairs(nbytes, n, rng)
 
 
 def main():

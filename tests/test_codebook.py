@@ -133,6 +133,24 @@ def test_depth_limited_fallback_kraft_equality():
         assert np.array_equal(native.code_lengths(freqs), py)
 
 
+def test_package_merge_clamps_limit_to_max_code_len():
+    """max_len > MAX_CODE_LEN clamps to 32 (nothing downstream can
+    represent longer codes; L=32 equals unrestricted Huffman for every
+    physical input) — Codebook.from_lengths must accept the result."""
+    import numpy as np
+
+    from huffman_tpu.codebook import Codebook, package_merge_lengths
+
+    freqs = np.zeros(65536, np.int64)
+    fib = [1, 1]
+    for _ in range(42):
+        fib.append(fib[-1] + fib[-2])
+    freqs[:44] = fib[:44]  # Fibonacci skew: natural depths > 32
+    lengths = package_merge_lengths(freqs, 40)
+    assert lengths.max() == 32
+    Codebook.from_lengths(lengths)  # must not raise
+
+
 def test_package_merge_infeasible_limit_raises():
     """A depth limit too small for the alphabet must raise, not silently
     emit a non-prefix (Kraft > 1) code."""
