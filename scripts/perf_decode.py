@@ -3,7 +3,7 @@
 Builds an encoded stream set once (native interleave build), then times
 kernel variants with the amortized in-jit repeat method from bench.py.
 
-Usage: python scripts/perf_decode.py [size_mb] [alphabet]
+Usage: python scripts/perf_decode.py [size_mb] [alphabet] [multi] [iters]
 """
 
 import sys
@@ -27,7 +27,10 @@ def main():
     size_mb = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     alphabet_size = int(sys.argv[2]) if len(sys.argv) > 2 else 3000
     multi = int(sys.argv[3]) if len(sys.argv) > 3 else pd.DEFAULT_MULTI
-    unroll = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+    # The ~60 ms tunneled dispatch divides by iters: at 20 a ~3 ms/iter
+    # decode reads ~2x slow (the round-1 mistake; CLAUDE.md). 80 matches
+    # bench.py and the K>=80 ablation methodology.
+    iters = int(sys.argv[4]) if len(sys.argv) > 4 else 80
     B = 512
 
     rng = np.random.default_rng(7)
@@ -93,11 +96,11 @@ def main():
 
     from huffman_tpu.utils.timing import amortized_time_fn
 
-    sec = amortized_time_fn(decode_fn, s_dev, iters=20)
+    sec = amortized_time_fn(decode_fn, s_dev, iters=iters)
     print(
         f"decode: {sec*1e3:.3f} ms/iter  {n_pairs*2/sec/1e9:.2f} GB/s  "
         f"({sec/ (ngroups*B) *1e9*multi:.0f} ns/step, translate={translate}, "
-        f"multi={multi}, unroll={unroll})"
+        f"multi={multi}, iters={iters})"
     )
 
 
