@@ -183,3 +183,33 @@ def test_numpy_twin_matches_device():
                 device_code_lengths(freqs.astype(np.int32), max_len=max_len)
             ).astype(np.uint8)
             assert np.array_equal(host, dev), (max_len, i)
+
+
+def test_bitonic_merge_property():
+    """_bitonic_merge_u32 (the per-round sorted merge the package-merge
+    loop runs instead of a full lax.sort) must equal np.sort of the
+    concatenation for ANY two ascending uint32 inputs of equal
+    power-of-two length — including duplicate keys, saturated 2^30<<1
+    sentinels, and all-equal arrays. Host/device codebook identity
+    (test_numpy_twin_matches_device) rides on this primitive."""
+    from huffman_tpu.ops.device_codebook import _bitonic_merge_u32
+
+    rng = np.random.default_rng(41)
+    cases = []
+    for k in (1, 2, 8, 128, 1024):
+        for _ in range(3):
+            a = np.sort(rng.integers(0, 1 << 31, k, dtype=np.uint32))
+            b = np.sort(rng.integers(0, 1 << 31, k, dtype=np.uint32))
+            cases.append((a, b))
+        # heavy duplicates + sentinel tails (the real call pattern:
+        # (w<<1|flag) keys with _INF<<1 padding)
+        a = np.sort(rng.integers(0, 8, k, dtype=np.uint32) << 1)
+        b = np.full(k, np.uint32((1 << 30) << 1 | 1), dtype=np.uint32)
+        b[: k // 2] = np.sort(
+            rng.integers(0, 8, k // 2, dtype=np.uint32) << 1 | 1
+        )
+        cases.append((a, np.sort(b)))
+    for a, b in cases:
+        got = np.asarray(_bitonic_merge_u32(jnp.asarray(a), jnp.asarray(b)))
+        want = np.sort(np.concatenate([a, b]), kind="stable")
+        assert np.array_equal(got, want), (a.size, a[:4], b[:4])
