@@ -190,6 +190,10 @@ def bench_pair(data: np.ndarray, tag: str, on_tpu: bool,
 
 
 def main() -> None:
+    from huffman_tpu.utils.chiplock import guard_chip
+
+    guard_chip()  # serialize on the single chip BEFORE backend init
+
     import jax
 
     from huffman_tpu.utils.benchmark import silesia_like

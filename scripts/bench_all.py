@@ -24,6 +24,10 @@ def _time_amortized(jax, jnp, fn, arg, iters):
 
 
 def main():
+    from huffman_tpu.utils.chiplock import guard_chip
+
+    guard_chip()  # exclusive chip use (see utils/chiplock.py)
+
     import jax
     import jax.numpy as jnp
 

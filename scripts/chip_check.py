@@ -34,6 +34,10 @@ import numpy as np
 
 
 def main() -> int:
+    from huffman_tpu.utils.chiplock import guard_chip
+
+    guard_chip()  # exclusive chip use (see utils/chiplock.py)
+
     import jax
 
     if jax.devices()[0].platform == "cpu":

@@ -12,7 +12,9 @@
 set -u
 cd "$(dirname "$0")/.."
 export HTPU_COMPILE_CACHE="${HTPU_COMPILE_CACHE:-$PWD/.jit_cache}"
-LOGDIR="${LOGDIR:-$PWD/.r3logs}"
+# COMMITTED log directory: round 3's numbers lived in a gitignored
+# .r3logs/ and were lost to a clean checkout (VERDICT r3 missing #2).
+LOGDIR="${LOGDIR:-$PWD/perflogs}"
 mkdir -p "$LOGDIR"
 
 echo "[gate] probing for TPU, $(date -u +%H:%M:%S)"

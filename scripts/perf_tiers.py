@@ -28,6 +28,10 @@ def corpus(kind: str, nbytes: int, rng):
 
 
 def main():
+    from huffman_tpu.utils.chiplock import guard_chip
+
+    guard_chip()  # exclusive chip use (see utils/chiplock.py)
+
     import jax
     import jax.numpy as jnp
 

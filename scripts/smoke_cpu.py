@@ -12,9 +12,14 @@ meaningless; ONLY the absence of a traceback matters.
 Usage: python scripts/smoke_cpu.py [script ...]   (default: all queued)
 """
 
+import os
 import sys
 
 sys.path.insert(0, ".")
+
+# Env var as well as the config update: utils.chiplock keys off the env
+# var, and a smoke run must never queue behind the real chip lock.
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
 
