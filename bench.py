@@ -123,27 +123,25 @@ def bench_pair(data: np.ndarray, tag: str, on_tpu: bool,
     def run(streams_dev):
         # packed_out: the kernel's 16-bit pair words ARE the final symbol
         # stream — the complete decode, without an unpack the container
-        # path doesn't perform either.
+        # path doesn't perform either. Rank-tier alphabets translate the
+        # packed rank pairs in-program (gather_u16_pairs_pallas), matching
+        # the container's device path.
         return pd.decode_groups(
             streams_dev, *args[1:], B, rows_per, sym_rows,
             max_len=max(cb.max_len, 1), translate=translate,
-            min_len=min_len, interpret=not on_tpu, packed_out=translate,
+            min_len=min_len, interpret=not on_tpu, packed_out=True,
             sym_order_dev=sym_order_dev,
         )
 
     out = np.asarray(run(args[0]))
-    if translate:
-        dec = (
-            out.reshape(ngroups, B // 2, 8, 128)
-            .transpose(0, 2, 3, 1)
-            .astype(np.uint32, order="C")  # contiguous; words are '<u2' pairs
-            .view("<u2")
-            .reshape(-1)[:n_pairs]
-            .astype(np.int64)
-        )
-    else:
-        # sym_order_dev translated in-program: the output IS symbols.
-        dec = out.reshape(ngroups, B, 8, 128).transpose(0, 2, 3, 1).reshape(-1)[:n_pairs]
+    dec = (
+        out.reshape(ngroups, B // 2, 8, 128)
+        .transpose(0, 2, 3, 1)
+        .astype(np.uint32, order="C")  # contiguous; words are '<u2' pairs
+        .view("<u2")
+        .reshape(-1)[:n_pairs]
+        .astype(np.int64)
+    )
     assert np.array_equal(dec, symbols), "decode mismatch — benchmark invalid"
 
     # iters must swamp the ~60 ms tunneled dispatch: at iters=20 the

@@ -890,14 +890,18 @@ def _decode_v2(c: ParsedContainer, backend) -> np.ndarray:
             if (not translate and cb.n_unique)
             else None
         ),
-        # In-kernel-translated output stays in the kernel's packed pair
-        # form: the words ARE the final 16-bit stream, skipping the
-        # unpack/repack shuffle (33 MB of traffic per 16 MiB decoded).
-        packed_out=bool(translate),
+        # Output stays in the kernel's packed pair form: the words ARE the
+        # final 16-bit stream, skipping the unpack/repack shuffle (33 MB
+        # of traffic per 16 MiB decoded). Rank-tier alphabets translate
+        # the packed rank pairs in-program (gather_u16_pairs_pallas, r4)
+        # so they keep the packed layout too.
+        packed_out=bool(translate) or bool(cb.n_unique),
     )
     # (g*B+t, s, l) -> block-major + 16-bit pair packing ON DEVICE: the
     # tunnel moves D2H at ~50 MB/s, so shipping the decoded symbols as
     # packed u16 pairs (16.5 MB) instead of int32 (33 MB) halves the
     # largest wall-time term, and the layout transpose rides the device.
-    packed = _postpack_v2(out, ngroups_p, c.ngroups, B, bool(translate))
+    packed = _postpack_v2(
+        out, ngroups_p, c.ngroups, B, bool(translate) or bool(cb.n_unique)
+    )
     return np.asarray(packed).view("<u2")

@@ -45,8 +45,12 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import MAX_CODE_LEN, MAX_SYMBOLS
+
+LANES = 128
 
 # Sentinel weight for absent symbols / list padding: orders after every real
 # weight, and one packaging step keeps it below int32 overflow. A plain
@@ -55,32 +59,173 @@ from ..constants import MAX_CODE_LEN, MAX_SYMBOLS
 _INF = 1 << 30
 
 
-def _bitonic_merge_u32(a: jax.Array, b: jax.Array) -> jax.Array:
-    """Sorted merge of two ascending uint32 arrays of equal power-of-two
-    length K, as a bitonic MERGE network: log2(2K) elementwise min/max
-    passes over the concatenation, vs the O(log^2) full sorting network a
-    `lax.sort` of the concatenation would run. Package-merge calls this
-    once per round (both its lists arrive sorted: leaves from the initial
-    sort, packages because pairwise sums of a sorted list are sorted), so
-    the round cost drops from a 2K-item sort to ~log2(2K) vector ops
-    (measured r3: full-alphabet codebook 21.7 ms -> see RESULTS.md)."""
-    x = jnp.concatenate([a, b[::-1]])  # ascending ++ descending = bitonic
-    n = x.shape[0]
-    k = n // 2
-    while k >= 1:
-        y = x.reshape(-1, 2, k)
-        lo = jnp.minimum(y[:, 0], y[:, 1])
-        hi = jnp.maximum(y[:, 0], y[:, 1])
-        x = jnp.stack([lo, hi], axis=1).reshape(n)
-        k //= 2
-    return x
+def _pm_kernel(asc_ref, rev_ref, n_ref, out_ref, x_ref, flags_ref, *,
+               K: int, max_len: int):
+    """Entire boundary package-merge loop as ONE Mosaic kernel.
+
+    MEASURED MOTIVATION (r4, scripts/exp_merge.py): as an XLA op sequence
+    the rounds are dispatch-bound — a 2K-item merge costs ~1.5 ms whether
+    K is 8,192 or 65,536 (pure fixed overhead; the full 65,536-cap
+    codebook is 19.6 ms with lax.sort rounds, 24.6 with the r3 bitonic
+    network). In-kernel the whole list lives in VMEM and every
+    compare-swap is a vector op, so all (max_len-1) * log2(2K) passes run
+    with no per-pass launch cost.
+
+    Layout: lists are (rows, 128) uint32 keys ``weight<<1 | is_package``,
+    row-major (element i at [i // 128, i % 128]). All network passes use
+    XOR-partner addressing: for stride k >= 128 the partner row is
+    ``row ^ (k/128)`` — two ``pltpu.roll``s over sublanes select it with
+    no relayout; for k < 128 the partner is ``lane ^ k`` — one
+    ``take_along_axis`` with a static index row (the tile-local lane
+    gather every other kernel here already leans on). The per-round
+    packaging deinterleaves even/odd elements with two static lane
+    gathers + a leading-dim reshape. The merge consumes
+    ``[reversed(leaves) ++ packages]`` — descending-then-ascending is
+    bitonic, and reversing the CONSTANT leaf list once outside the kernel
+    removes any in-kernel flip.
+
+    Level flags (the key LSBs) land in an int8 VMEM scratch; the backward
+    counting pass (take c items at the deepest level, p packages there
+    expand to 2p one level down) then runs in-kernel too, so the only
+    output is the (K,) lengths-by-rank vector. Bit-identical to the XLA
+    twin below: ties carry identical (weight, flag) keys, so any stable
+    or unstable order yields the same flag sequence.
+
+    DTYPE NOTE (measured r4): Mosaic on the v5e does not legalize
+    UNSIGNED vector min/max (`arith.minui` fails to compile — the same
+    class of gap as r3's int8 cmpi). The network therefore runs on
+    SIGN-BIASED int32 keys (key ^ 0x8000_0000): the bias maps unsigned
+    order onto signed order, so the supported smin/smax sort correctly,
+    and the flag LSB is untouched. Only the packaging arithmetic unbiases
+    (uint32 shifts/adds/compares all legalize — the decode kernel leans
+    on them).
+    """
+    R2 = K // LANES
+    R = 2 * R2
+    bias = jnp.uint32(0x80000000)
+    # Biased sentinel: the leaf sentinel key is _INF<<1 = 2^31, which the
+    # sign bias maps to exactly 0 (the largest biased value is the
+    # package sentinel (2^31+1) ^ bias = 1; every real biased key is
+    # negative).
+    inf_w = jnp.uint32(_INF)
+
+    lane_r = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+    row_r = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
+    lane_h = jax.lax.broadcasted_iota(jnp.int32, (R2, LANES), 1)
+    # Static deinterleave index rows: even elements of a row land in the
+    # first 64 lanes' worth of pairs ((2c)&127 duplicates the pattern for
+    # the upper half, which reads the NEXT row via the reshape select).
+    idx_even = (2 * lane_r) & 127
+    idx_odd = idx_even + 1
+
+    # Round 1 list: ascending biased leaves ++ sentinel pad (biased 0).
+    x_ref[0:R2] = asc_ref[:]
+    x_ref[R2:R] = jnp.zeros((R2, LANES), jnp.int32)
+    rev_leaves = rev_ref[:]
+
+    for rnd in range(max_len - 1):
+        xv = x_ref[:]
+        w = (pltpu.bitcast(xv, jnp.uint32) ^ bias) >> 1
+        # -- package adjacent pairs (deinterleave even/odd, then add) ----
+        g_even = jnp.take_along_axis(
+            pltpu.bitcast(w, jnp.int32), idx_even, axis=1
+        ).reshape(R2, 2, LANES)
+        g_odd = jnp.take_along_axis(
+            pltpu.bitcast(w, jnp.int32), idx_odd, axis=1
+        ).reshape(R2, 2, LANES)
+        is_lo = lane_h < 64
+        ev = pltpu.bitcast(
+            jnp.where(is_lo, g_even[:, 0], g_even[:, 1]), jnp.uint32
+        )
+        od = pltpu.bitcast(
+            jnp.where(is_lo, g_odd[:, 0], g_odd[:, 1]), jnp.uint32
+        )
+        s = ev + od  # <= 2^31, exact in uint32
+        # where(s > INF, INF, s) == min(s, INF); sentinel pairs force INF
+        # (matches the XLA twin's pre-add sentinel check bit for bit).
+        pk_w = jnp.where(
+            (ev >= inf_w) | (od >= inf_w) | (s > inf_w), inf_w, s
+        )
+        # -- bitonic merge: [rev(leaves) ++ packages], biased domain ------
+        x_ref[0:R2] = rev_leaves
+        x_ref[R2:R] = pltpu.bitcast(((pk_w << 1) | 1) ^ bias, jnp.int32)
+        xv = x_ref[:]
+        k = K
+        while k >= LANES:  # row-partner passes: partner row = row ^ d
+            d = k // LANES
+            # pltpu.roll requires a non-negative static shift; R - d is
+            # the cyclic equivalent of -d (out[r] = x[r + d]).
+            pm = pltpu.roll(xv, R - d, 0)
+            pp = pltpu.roll(xv, d, 0)
+            low = (row_r & d) == 0
+            xv = jnp.where(low, jnp.minimum(xv, pm), jnp.maximum(xv, pp))
+            k //= 2
+        while k >= 1:  # lane-partner passes: partner lane = lane ^ k
+            p = jnp.take_along_axis(xv, lane_r ^ k, axis=1)
+            low = (lane_r & k) == 0
+            xv = jnp.where(low, jnp.minimum(xv, p), jnp.maximum(xv, p))
+            k //= 2
+        x_ref[:] = xv
+        flags_ref[rnd] = (xv & 1).astype(jnp.int8)  # bias spares the LSB
+
+    # -- backward counting pass --------------------------------------------
+    n = n_ref[0, 0]
+    c = jnp.maximum(2 * n - 2, 0)
+    glob_r = row_r * LANES + lane_r
+    glob_h = jax.lax.broadcasted_iota(jnp.int32, (R2, LANES), 0) * LANES + lane_h
+    lengths = jnp.zeros((R2, LANES), jnp.int32)
+    for l in range(max_len - 1, 0, -1):
+        f = flags_ref[l - 1][:].astype(jnp.int32)
+        p = jnp.sum(jnp.where(glob_r < c, f, 0))
+        m = c - p
+        lengths = lengths + (glob_h < m).astype(jnp.int32)
+        c = 2 * p
+    # level 0 (the leaves list) has no packages: p = 0, m = c.
+    lengths = lengths + (glob_h < c).astype(jnp.int32)
+    out_ref[:] = lengths
 
 
-@functools.partial(jax.jit, static_argnames=("max_len", "alphabet_cap"))
+def _lengths_by_rank_pallas(leaf_keys: jax.Array, n: jax.Array,
+                            max_len: int, K: int,
+                            interpret: bool = False) -> jax.Array:
+    """Run the package-merge kernel; returns (K,) int32 lengths by leaf
+    rank. leaf_keys is the ascending (K,) uint32 fused-key list."""
+    R2 = K // LANES
+    # Sign-bias the keys OUTSIDE the kernel (see _pm_kernel dtype note):
+    # unsigned order maps onto the int32 order Mosaic's smin/smax honor.
+    biased = jax.lax.bitcast_convert_type(
+        leaf_keys ^ jnp.uint32(0x80000000), jnp.int32
+    )
+    asc = biased.reshape(R2, LANES)
+    rev = biased[::-1].reshape(R2, LANES)
+    n_row = jnp.zeros((1, LANES), jnp.int32).at[0, 0].set(n.astype(jnp.int32))
+    kernel = functools.partial(_pm_kernel, K=K, max_len=max_len)
+    out = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R2, LANES), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((2 * R2, LANES), jnp.int32),
+            pltpu.VMEM((max_len - 1, 2 * R2, LANES), jnp.int8),
+        ],
+        interpret=interpret,
+    )(asc, rev, n_row)
+    return out.reshape(K)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_len", "alphabet_cap", "use_kernel")
+)
 def device_code_lengths(
     freqs: jax.Array,
     max_len: int = MAX_CODE_LEN,
     alphabet_cap: int | None = None,
+    use_kernel: bool = False,
 ) -> jax.Array:
     """Optimal length-limited code lengths, entirely on device.
 
@@ -112,12 +257,26 @@ def device_code_lengths(
     leaf_w, leaf_sym = jax.lax.sort((leaf_w, sym_ids), num_keys=2)
 
     K = n_sym if alphabet_cap is None else min(alphabet_cap, n_sym)
-    # The bitonic merge needs power-of-two lists; rounding the cap UP only
-    # widens the exact range (n_unique <= original cap still holds).
+    # The Pallas kernel's XOR-partner network needs power-of-two lists;
+    # rounding the cap UP only widens the exact range (n_unique <=
+    # original cap still holds).
     if K & (K - 1):
         K = 1 << K.bit_length()
         K = min(K, n_sym)
     leaf_w = leaf_w[:K]
+    # The is-package flag rides as the key's low bit (weights < 2^30, so
+    # w<<1|f fits uint32): one single-key merge per round instead of a
+    # two-key sort, with identical ordering — leaves win weight ties,
+    # like the two-queue's shallow preference reversed; either is optimal.
+    leaf_keys = leaf_w.astype(jnp.uint32) << 1
+    ranks = jnp.arange(K, dtype=jnp.int32)
+    if use_kernel and K >= LANES * 2 and K % LANES == 0 and max_len >= 2:
+        # The hot path: all rounds + the counting pass as one Mosaic
+        # kernel (bit-identical to the XLA twin below — see _pm_kernel).
+        lengths_by_rank = _lengths_by_rank_pallas(leaf_keys, n, max_len, K)
+        return _finish_lengths(
+            lengths_by_rank, leaf_sym, present, ranks, n, n_sym, K
+        )
     # Level lists: length 2K (leaves ++ packages), sentinel padded.
     # flags[l][i] == True if item i of level l's list is a package.
     pad = jnp.full((K,), _INF, dtype=jnp.int32)
@@ -126,11 +285,6 @@ def device_code_lengths(
     cur_w = jnp.concatenate([leaf_w, pad])
     cur_f = jnp.zeros((2 * K,), dtype=jnp.int32)
     level_flags.append(cur_f)
-    # The is-package flag rides as the key's low bit (weights < 2^30, so
-    # w<<1|f fits uint32): one single-key merge per round instead of a
-    # two-key sort, with identical ordering — leaves win weight ties,
-    # like the two-queue's shallow preference reversed; either is optimal.
-    leaf_keys = leaf_w.astype(jnp.uint32) << 1
     for _ in range(max_len - 1):
         # Package adjacent pairs; any pair touching a sentinel stays a
         # sentinel (checked BEFORE the add — sentinel + sentinel would
@@ -139,13 +293,18 @@ def device_code_lengths(
         pk = jnp.where(
             (a >= _INF) | (b >= _INF), _INF, jnp.minimum(a + b, _INF)
         )
-        # Merge sorted leaves with sorted packages. Both lists ARE sorted
-        # (leaves from the initial sort; packages because adjacent-pair
-        # sums of a sorted list ascend), so a bitonic merge does in
-        # log2(2K) min/max passes what `lax.sort` of the concatenation
-        # spends a full sorting network on.
-        keys = _bitonic_merge_u32(
-            leaf_keys, (pk.astype(jnp.uint32) << 1) | 1
+        # Merge sorted leaves with sorted packages by sorting the fused
+        # single-key concatenation. MEASURED (r4, scripts/exp_merge.py):
+        # the r3 explicit bitonic-merge network LOST to lax.sort at every
+        # cap (24.6 vs 19.6 ms full codebook at cap 65536) — at these
+        # widths XLA:TPU cost is per-pass dispatch/fusion overhead, not
+        # network depth, so fewer/bigger ops win. (The r3-reported 46 ms
+        # "cap=32768 anomaly" did not reproduce solo: 13.0 ms, smooth
+        # scaling — it was chip-contention contamination.) This XLA path
+        # is the interpret/test twin and the max_len>26 tier; the hot
+        # tiers run the single-kernel Pallas loop below (use_kernel).
+        keys = jax.lax.sort(
+            jnp.concatenate([leaf_keys, (pk.astype(jnp.uint32) << 1) | 1])
         )
         cur_w = (keys >> 1).astype(jnp.int32)
         level_flags.append((keys & 1).astype(jnp.int32))
@@ -165,13 +324,18 @@ def device_code_lengths(
         lengths_by_rank = lengths_by_rank + (ranks < m).astype(jnp.int32)
         c = 2 * p
 
-    # Single-symbol alphabet: the loop yields length 0 for the lone leaf
-    # (c starts at 0); force the degenerate 1-bit code (fixes the
-    # reference's silent-empty-output bug, SURVEY.md §4).
+    return _finish_lengths(
+        lengths_by_rank, leaf_sym, present, ranks, n, n_sym, K
+    )
+
+
+def _finish_lengths(lengths_by_rank, leaf_sym, present, ranks, n, n_sym, K):
+    # Single-symbol alphabet: the counting loop yields length 0 for the
+    # lone leaf (c starts at 0); force the degenerate 1-bit code (fixes
+    # the reference's silent-empty-output bug, SURVEY.md §4).
     lengths_by_rank = jnp.where(
         (n == 1) & (ranks == 0), jnp.int32(1), lengths_by_rank
     )
-
     # Scatter rank-order lengths back to symbol order.
     lengths = jnp.zeros((n_sym,), dtype=jnp.int32)
     lengths = lengths.at[leaf_sym[:K]].set(lengths_by_rank)

@@ -54,7 +54,10 @@ def tiered_code_gather(
 
     def tier(cap):
         def run(h):
-            lengths = device_code_lengths(h, max_len=max_len, alphabet_cap=cap)
+            lengths = device_code_lengths(
+                h, max_len=max_len, alphabet_cap=cap,
+                use_kernel=not interpret,
+            )
             tabs = device_canonical_tables(lengths)
             enc_codes, enc_lens = tabs[0], tabs[1]
             enc_packed = (enc_lens.astype(jnp.uint32) << 26) | enc_codes
@@ -176,7 +179,8 @@ def encode_device(
         lens = jnp.where(val2, (packed >> 26).astype(jnp.int32), 0)
     else:
         lengths = device_code_lengths(
-            hist, max_len=max_len, alphabet_cap=alphabet_cap
+            hist, max_len=max_len, alphabet_cap=alphabet_cap,
+            use_kernel=not interpret and max_len >= 2,
         )
         enc_codes, enc_lens, lj_limit, base, sym_rank = device_canonical_tables(
             lengths

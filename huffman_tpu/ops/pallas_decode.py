@@ -109,6 +109,16 @@ def build_symtab(sym_order: np.ndarray):
     return packed.view(np.int32), rows, True
 
 
+def _pack_rows_for(n_symbols: int) -> int:
+    """Rows (of 128 words, two 16-bit entries each) for a packed-16 table
+    holding ``n_symbols`` entries, rounded up to a power of two."""
+    n_pack = (n_symbols + 1) // 2
+    rows = 1
+    while rows * LANES < n_pack:
+        rows <<= 1
+    return rows
+
+
 def _lane_gather_i32(rows: jax.Array, idx: jax.Array) -> jax.Array:
     """rows.reshape(-1)[idx] for rows (R,128) int32 and idx (8,128) int32
     with values < R*128. Each row is a native per-element lane gather
@@ -426,14 +436,39 @@ def decode_groups(
         # lane (s,l) holds steps 2h, 2h+1 — consecutive block symbols in
         # little-endian u16 order. Callers assembling byte output reorder
         # (g, half, 8, 128) -> (g, 8, 128, half) and view as '<u2',
-        # skipping the 2x unpack/repack shuffle entirely. Only valid with
-        # in-kernel translation (ranks would need per-half translation).
+        # skipping the 2x unpack/repack shuffle entirely. Rank-tier
+        # alphabets (translate=False) translate the packed RANK pairs
+        # in-program with the pair-gather kernel — both halves of every
+        # word look up the packed-16 symbol table directly, so the rank
+        # tier never unpacks to one-rank-per-word at all (r4; the prior
+        # path unpacked 2x, gathered per-element, then repacked).
         if not translate:
-            # Without in-kernel translation the packed words hold canonical
-            # RANKS, not symbols — shipping them as the symbol stream would
-            # be silent corruption regardless of whether the caller passed
-            # sym_order_dev.
-            raise ValueError("packed_out requires in-kernel translation")
+            if sym_order_dev is None or not sym_order_dev.size:
+                # Packed words hold canonical RANKS; shipping them as the
+                # symbol stream would be silent corruption.
+                raise ValueError(
+                    "packed_out with translate=False requires sym_order_dev"
+                )
+            n = sym_order_dev.shape[0]
+            if interpret:
+                u = jax.lax.bitcast_convert_type(packed, jnp.uint32)
+                so = sym_order_dev.astype(jnp.uint32)
+                s0 = jnp.take(so, (u & 0xFFFF).astype(jnp.int32), mode="clip")
+                s1 = jnp.take(so, (u >> 16).astype(jnp.int32), mode="clip")
+                packed = jax.lax.bitcast_convert_type(
+                    s0 | (s1 << 16), jnp.int32
+                )
+            else:
+                from .pallas_gather import gather_u16_pairs_pallas
+
+                so = sym_order_dev.astype(jnp.uint32)
+                even = jnp.zeros(
+                    (_pack_rows_for(n) * LANES,), jnp.uint32
+                ).at[: (n + 1) // 2].set(so[0::2])
+                odd = jnp.zeros(
+                    (_pack_rows_for(n) * LANES,), jnp.uint32
+                ).at[: n // 2].set(so[1::2])
+                packed = gather_u16_pairs_pallas(packed, even | (odd << 16))
         out = packed.reshape(ngroups_p, half, SUBLANES, LANES)
         return out[:ngroups] if pad_g else out
 

@@ -385,6 +385,72 @@ def gather_u16_pallas(
     ].astype(jnp.int32).reshape(shape)
 
 
+def _u16_pair_gather_kernel(table_ref, idx_ref, out_ref, *, n_tiles: int):
+    """Like _u16_gather_kernel, but each input word holds TWO 16-bit
+    indices (lo, hi) and each output word the two looked-up 16-bit values
+    in the same halves — the decoder's packed symbol-pair layout."""
+    rows = table_ref.shape[0]
+    for t in range(n_tiles):
+        u = pltpu.bitcast(idx_ref[t], jnp.uint32)
+        halves = []
+        for shift in (0, 16):
+            idx = pltpu.bitcast(
+                (u >> jnp.uint32(shift)) & jnp.uint32(0xFFFF), jnp.int32
+            )
+            pair = _lane_gather_i32(
+                table_ref[:], jnp.clip(idx >> 1, 0, rows * LANES - 1)
+            )
+            val = pltpu.bitcast(pair, jnp.uint32) >> (
+                ((idx & 1) << 4).astype(jnp.uint32)
+            )
+            halves.append(val & jnp.uint32(0xFFFF))
+        out_ref[t] = pltpu.bitcast(halves[0] | (halves[1] << 16), jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gather_u16_pairs_pallas(
+    packed_idx: jax.Array,  # any shape, i32 words = lo_idx | hi_idx<<16
+    packed16: jax.Array,    # (m,) int32/uint32 — value i at word i>>1, half i&1
+    interpret: bool = False,
+) -> jax.Array:
+    """Dense 16-bit-table lookup of BOTH halves of packed index words;
+    returns packed value words in the input's shape. Used by the decoder's
+    rank tier: the kernel's packed rank pairs translate to packed symbol
+    pairs without ever unpacking to one-rank-per-word (half the traffic of
+    gather_u16_pallas on the unpacked ranks, and the 2x-size XLA
+    unpack/repack pass disappears entirely)."""
+    shape = packed_idx.shape
+    flat = packed_idx.reshape(-1).astype(jnp.int32)
+    n = flat.shape[0]
+    tile = SUBLANES * LANES
+    per_cell = 8 if interpret else 32
+    chunk = tile * per_cell
+    pad = (-n) % chunk
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros(pad, jnp.int32)])
+    cells = flat.shape[0] // chunk
+    grid_idx = flat.reshape(cells * per_cell, SUBLANES, LANES)
+    rows = packed16.shape[0] // LANES
+    table2 = jax.lax.bitcast_convert_type(
+        packed16.astype(jnp.uint32), jnp.int32
+    ).reshape(rows, LANES)
+    kernel = functools.partial(_u16_pair_gather_kernel, n_tiles=per_cell)
+    out = pl.pallas_call(
+        kernel,
+        grid=(cells,),
+        in_specs=[
+            pl.BlockSpec((rows, LANES), lambda g: (0, 0)),
+            pl.BlockSpec((per_cell, SUBLANES, LANES), lambda g: (g, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((per_cell, SUBLANES, LANES), lambda g: (g, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct(
+            (cells * per_cell, SUBLANES, LANES), jnp.int32
+        ),
+        interpret=interpret,
+    )(table2, grid_idx)
+    return out.reshape(-1)[:n].reshape(shape)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def gather_packed32_dense(
     symbols: jax.Array,   # any shape, int32 in [0, MAX_SYMBOLS)

@@ -11,13 +11,17 @@ across grid cells (int8 measured 1.45x the bf16 variant; int32
 accumulation is exact to 2^31 counts, beyond the container's 4 GiB
 bound, so no input splitting is needed).
 
-The one-hot COMPARES are done in the int8 domain (cast the byte and the
-iota to int8 before the ==): the byte values wrap 0..255 -> -128..127
-bijectively, so equality is preserved, and the VPU packs int8 lanes 4x
-denser than int32 — the compare stage was the measured VPU floor
-(CLAUDE.md: ~512 compare-ops/symbol in int32). ``cell`` (symbols per
-grid step) and ``int8_cmp`` are exposed for the perf harness
-(scripts/perf_hist.py) to sweep; defaults are the shipping config.
+The one-hot COMPARE dtype is a knob (``cmp_dtype``): the byte values map
+bijectively into int16 (directly) and int8 (wrapping 0..255 ->
+-128..127), so equality survives the cast, and narrower lanes pack 2x/4x
+denser on the VPU — the compare stage was the measured VPU floor
+(CLAUDE.md: ~512 compare-ops/symbol in int32). MEASURED (r3/r4, v5e):
+int8 vector cmpi FAILS Mosaic compile on this target ("Target does not
+support this comparison"), so "int8" exists for the perf harness to
+probe future toolchains only; "int16" is the candidate tier. ``cell``
+(symbols per grid step) is the other knob; defaults are the shipping
+config (scripts/perf_hist.py sweeps both, surviving per-variant compile
+failures).
 
 Replaces the reference's global-memory atomicAdd loop
 (Compressor.cu:38-48); a TPU has no atomics — the MXU IS the accumulator.
@@ -39,7 +43,7 @@ _C = 4096  # symbols per grid cell (default; see histogram_pallas(cell=))
 
 
 def _hist_kernel(sym_ref, out_ref, acc_ref, *, cells: int, C: int,
-                 int8_cmp: bool):
+                 cmp_dtype):
     g = pl.program_id(0)
 
     @pl.when(g == 0)
@@ -47,12 +51,13 @@ def _hist_kernel(sym_ref, out_ref, acc_ref, *, cells: int, C: int,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     sym = sym_ref[:].reshape(1, C)
-    if int8_cmp:
-        # int8 wraps 0..255 bijectively onto -128..127: equality survives
-        # the cast, and the compares run on 4x-packed VPU lanes.
-        ids = jax.lax.broadcasted_iota(jnp.int32, (256, C), 0).astype(jnp.int8)
-        hi = jnp.broadcast_to((sym >> 8).astype(jnp.int8), (256, C)) == ids
-        lo = jnp.broadcast_to((sym & 0xFF).astype(jnp.int8), (256, C)) == ids
+    if jnp.dtype(cmp_dtype) != jnp.dtype(jnp.int32):
+        # Byte values land bijectively in the narrow domain (int8 wraps
+        # 0..255 onto -128..127; int16 holds them directly): equality
+        # survives the cast, and the compares run on 2x/4x-packed lanes.
+        ids = jax.lax.broadcasted_iota(jnp.int32, (256, C), 0).astype(cmp_dtype)
+        hi = jnp.broadcast_to((sym >> 8).astype(cmp_dtype), (256, C)) == ids
+        lo = jnp.broadcast_to((sym & 0xFF).astype(cmp_dtype), (256, C)) == ids
     else:
         ids = jax.lax.broadcasted_iota(jnp.int32, (256, C), 0)
         hi = jnp.broadcast_to(sym >> 8, (256, C)) == ids
@@ -70,15 +75,19 @@ def _hist_kernel(sym_ref, out_ref, acc_ref, *, cells: int, C: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "cell", "int8_cmp")
+    jax.jit, static_argnames=("interpret", "cell", "cmp_dtype")
 )
 def histogram_pallas(
     symbols: jax.Array,
     interpret: bool = False,
     cell: int = _C,
-    int8_cmp: bool = False,
+    cmp_dtype: str = "int32",
 ) -> jax.Array:
-    """Dense (MAX_SYMBOLS,) int32 histogram of int32 byte-pair symbols."""
+    """Dense (MAX_SYMBOLS,) int32 histogram of int32 byte-pair symbols.
+
+    ``cmp_dtype`` in {"int32", "int16", "int8"} selects the one-hot
+    compare domain (see module docstring; "int8" does not compile on the
+    v5e and exists only for the perf harness to re-probe)."""
     flat = symbols.reshape(-1).astype(jnp.int32)
     n = flat.shape[0]
     if n == 0:
@@ -90,7 +99,7 @@ def histogram_pallas(
     cells = flat.shape[0] // cell
     grid_sym = flat.reshape(cells * (cell // LANES), LANES)
     kernel = functools.partial(
-        _hist_kernel, cells=cells, C=cell, int8_cmp=int8_cmp
+        _hist_kernel, cells=cells, C=cell, cmp_dtype=cmp_dtype
     )
     out = pl.pallas_call(
         kernel,

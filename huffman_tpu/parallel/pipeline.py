@@ -223,7 +223,7 @@ def compress_decompress_step(mesh: Mesh, axis: str = "dp"):
     jax.jit,
     static_argnames=(
         "mesh", "axis", "B", "words_cap", "max_len", "alphabet_cap",
-        "interpret", "tiers",
+        "interpret", "tiers", "gather",
     ),
 )
 def distributed_encode_streams(
@@ -237,6 +237,7 @@ def distributed_encode_streams(
     interpret: bool = False,
     axis: str = "dp",
     tiers: tuple[int, ...] | None = None,
+    gather: str = "auto",  # "displacement" | "xla" | "auto" (as fused)
 ):
     """The FLAGSHIP fused encode, sharded over the mesh: per-shard Pallas
     histogram + ``psum`` (the all-reduce rides ICI/DCN), the tiered
@@ -295,11 +296,18 @@ def distributed_encode_streams(
 
         sym2 = sym_flat.reshape(lanes_loc, B)
         val2 = valid.reshape(lanes_loc, B)
-        if max_len > 26 or interpret:
+        use_xla = (
+            max_len > 26 or gather == "xla"
+            or (gather == "auto" and interpret)
+        )
+        if use_xla:
             # len<<26 packing overflows past 26-bit codes; the interpreter
-            # stays on the XLA gather (the lane-gather tree is for Mosaic).
+            # defaults to the XLA gather (the lane-gather tree unrolls
+            # painfully there — pass gather="displacement" explicitly to
+            # exercise the tier ladder off-chip, e.g. dryrun part 4).
             lengths = device_code_lengths(
-                hist_all, max_len=max_len, alphabet_cap=alphabet_cap
+                hist_all, max_len=max_len, alphabet_cap=alphabet_cap,
+                use_kernel=not interpret and max_len >= 2,
             )
             enc_codes, enc_lens, *_ = device_canonical_tables(lengths)
             if max_len > 26:

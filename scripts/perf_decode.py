@@ -81,11 +81,18 @@ def main():
         jnp.asarray(meta),
     )
 
+    # COMPLETE decode, matching bench.py: packed 16-bit pair output; rank
+    # tiers translate the packed rank pairs in-program
+    # (gather_u16_pairs_pallas, r4).
+    sym_order_dev = (
+        None if translate else jnp.asarray(cb.sym_order.astype(np.int32))
+    )
+
     def decode_fn(s):
         return pd.decode_groups(
             s, *args, B, rows_per, sym_rows,
             max_len=max(cb.max_len, 1), translate=translate, multi=multi,
-            min_len=min_len,
+            min_len=min_len, packed_out=True, sym_order_dev=sym_order_dev,
         )
 
     # correctness (skipped under ablation — output is wrong by design)
@@ -93,9 +100,15 @@ def main():
 
     if not _os.environ.get("HTPU_ABLATE"):
         out = np.asarray(decode_fn(s_dev))
-        dec = out.reshape(ngroups, B, 8, 128).transpose(0, 2, 3, 1).reshape(-1)[:n_pairs]
-        if not translate:
-            dec = cb.sym_order.astype(np.int64)[np.clip(dec, 0, cb.n_unique - 1)]
+        dec = (
+            out.reshape(ngroups, B // 2, 8, 128)
+            .transpose(0, 2, 3, 1)
+            .astype(np.uint32)
+            .copy(order="C")
+            .view("<u2")
+            .reshape(-1)[:n_pairs]
+            .astype(np.int64)
+        )
         assert np.array_equal(dec, symbols), "decode mismatch"
 
     from huffman_tpu.utils.timing import amortized_time_fn

@@ -1,26 +1,25 @@
-"""Histogram kernel variant shootout (r3 encode stretch, VERDICT r2 #3b).
+"""Histogram kernel variant shootout (encode stretch; VERDICT r2 #3b,
+r3 weak #1).
 
 The shipping kernel (ops/pallas_hist.py) builds (256, C) transposed hi/lo
 one-hots by iota compare, casts to int8, and accumulates the
 (256,C)x(256,C)->(256,256) int8 lane-contraction on the MXU. CLAUDE.md
 parks "one-hot construction is the VPU floor (~512 compare-ops/symbol);
-int8 one-hots or bigger grid cells might shave ~2x". Variants measured
-here THROUGH the shipping entry point (histogram_pallas(cell=, int8_cmp=)),
-amortized in-jit (K>=30), bit-checked before timing:
+narrower compares or bigger grid cells might shave ~2x". Variants are
+measured THROUGH the shipping entry point (histogram_pallas(cell=,
+cmp_dtype=)), amortized in-jit (K>=30), bit-checked before timing.
 
-  v0  shipping default (C=4096, int32 compares)
-  v1  int8-domain compares: cast sym bytes + iota to int8 BEFORE the
-      compare — the VPU packs int8 lanes 4x denser, so the 512
-      compares/symbol shrink to ~128 int32-lane-equivalents
-  v2  cell width C=8192 (half the grid steps, same per-symbol work)
-  v3  C=8192 + int8 compares
-  v4  C=16384 + int8 compares
+Every variant runs inside try/except: round 3's int8-compare variant
+failed Mosaic compile on the v5e and its crash aborted the whole sweep
+before the cell-width variants were measured (VERDICT r3 weak #1) — a
+failing variant must cost one FAIL line, not the harness.
 
 Usage: python scripts/perf_hist.py [size_mb]
 """
 
 import functools
 import sys
+import traceback
 
 import numpy as np
 
@@ -50,21 +49,23 @@ def main():
     sym_dev = jax.device_put(jnp.asarray(symbols))
 
     def rec(name, fn, iters=40):
-        got = np.asarray(fn(sym_dev)).reshape(-1)
-        assert np.array_equal(got, want), f"{name} WRONG"
-        sec = amortized_time_fn(fn, sym_dev, iters)
+        try:
+            got = np.asarray(fn(sym_dev)).reshape(-1)
+            assert np.array_equal(got, want), f"{name} WRONG"
+            sec = amortized_time_fn(fn, sym_dev, iters)
+        except Exception as e:  # compile failures must not eat the sweep
+            print(f"{name:40s}     FAIL {type(e).__name__}: "
+                  f"{str(e).splitlines()[0][:90]}", flush=True)
+            traceback.print_exc(limit=2, file=sys.stderr)
+            return
         print(f"{name:40s} {sec*1e3:8.3f} ms   "
               f"{n*2/sec/1e9:6.2f} GB/s", flush=True)
 
-    rec("v0 default C=4096 int32", histogram_pallas)
-    rec("v1 C=4096 int8",
-        functools.partial(histogram_pallas, int8_cmp=True))
-    rec("v2 C=8192 int32",
-        functools.partial(histogram_pallas, cell=8192))
-    rec("v3 C=8192 int8",
-        functools.partial(histogram_pallas, cell=8192, int8_cmp=True))
-    rec("v4 C=16384 int8",
-        functools.partial(histogram_pallas, cell=16384, int8_cmp=True))
+    for cell in (4096, 8192, 16384):
+        for cmp_dtype in ("int32", "int16", "int8"):
+            rec(f"C={cell} cmp={cmp_dtype}",
+                functools.partial(histogram_pallas, cell=cell,
+                                  cmp_dtype=cmp_dtype))
 
 
 if __name__ == "__main__":

@@ -1,7 +1,7 @@
 """Alphabet-tier perf attribution on the chip (r3).
 
 Measures, with amortized in-jit repeats (K>=30; see CLAUDE.md):
-  - the package-merge codebook at each tier cap (bitonic-merge rounds);
+  - the package-merge codebook at each tier cap (Pallas kernel vs XLA);
   - the fused encoder end-to-end at alphabets landing in each tier
     (the VERDICT r2 wide-alphabet target: >= 1 GB/s at a 30k alphabet).
 
@@ -57,11 +57,48 @@ def main():
     freqs = np.bincount(symbols, minlength=MAX_SYMBOLS).astype(np.int32)
     hist_dev = jax.device_put(jnp.asarray(freqs))
     for cap in (4096, 8192, 16384, 32768, 65536, None):
-        rec(f"codebook package-merge cap={cap}",
+        for tag, kern in (("xla", False), ("kern", True)):
+            rec(f"codebook package-merge cap={cap} {tag}",
+                amortized_time_fn(
+                    functools.partial(device_code_lengths, max_len=18,
+                                      alphabet_cap=cap, use_kernel=kern),
+                    hist_dev, 40))
+
+    # -- wide-tier stage attribution (r4): where the non-codebook time
+    # goes at the top rungs — canonical tables, rank-select build, and
+    # the rank-select gather all size by the tier cap ---------------------
+    from huffman_tpu.ops import pallas_gather as pg
+    from huffman_tpu.ops.device_codebook import device_canonical_tables
+    from huffman_tpu.ops.pallas_hist import histogram_pallas
+
+    data = corpus("wide30k", nbytes, rng)
+    symbols = data[: data.size & ~1].view("<u2").astype(np.int32)
+    wfreqs = np.bincount(symbols, minlength=MAX_SYMBOLS).astype(np.int32)
+    whist = jax.device_put(jnp.asarray(wfreqs))
+    wsym = jax.device_put(jnp.asarray(symbols))
+    nb = symbols.size * 2
+    rec("wide30k histogram (Pallas)",
+        amortized_time_fn(histogram_pallas, wsym, 40), nb)
+    lengths = device_code_lengths(whist, max_len=18)
+    rec("wide30k canonical tables",
+        amortized_time_fn(device_canonical_tables, lengths, 40))
+    enc_codes, enc_lens, *_ = device_canonical_tables(lengths)
+    enc_packed = (enc_lens.astype(jnp.uint32) << 26) | enc_codes
+    for cap in (32768, 65536):
+        def build(h, cap=cap):
+            return pg.build_rank_select(enc_packed, h > 0, cap=cap)[2]
+        rec(f"wide30k rank-select build cap={cap}",
+            amortized_time_fn(build, whist, 40))
+        mw, cm, dn, ok = pg.build_rank_select(
+            enc_packed, jnp.asarray(wfreqs > 0), cap=cap
+        )
+        assert bool(ok)
+        rec(f"wide30k rank-select gather cap={cap}",
             amortized_time_fn(
-                functools.partial(device_code_lengths, max_len=18,
-                                  alphabet_cap=cap),
-                hist_dev, 40))
+                lambda a, mw=mw, cm=cm, dn=dn: pg.gather_rank_select(
+                    a, mw, cm, dn
+                ),
+                wsym, 40), nb)
 
     # -- fused encoder per tier -------------------------------------------
     for kind in ("silesia", "wide12k", "wide30k", "wide60k"):

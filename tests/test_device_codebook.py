@@ -185,31 +185,50 @@ def test_numpy_twin_matches_device():
             assert np.array_equal(host, dev), (max_len, i)
 
 
-def test_bitonic_merge_property():
-    """_bitonic_merge_u32 (the per-round sorted merge the package-merge
-    loop runs instead of a full lax.sort) must equal np.sort of the
-    concatenation for ANY two ascending uint32 inputs of equal
-    power-of-two length — including duplicate keys, saturated 2^30<<1
-    sentinels, and all-equal arrays. Host/device codebook identity
-    (test_numpy_twin_matches_device) rides on this primitive."""
-    from huffman_tpu.ops.device_codebook import _bitonic_merge_u32
+@pytest.mark.parametrize(
+    "K,nal,max_len",
+    # Small cases: the interpreter pays per unrolled network op (~25 s per
+    # case); real widths are chip territory (scripts/exp_pm.py).
+    [(256, 100, 8), (256, 40, 12), (256, 1, 8), (512, 300, 10)],
+)
+def test_pallas_package_merge_kernel_matches_xla(K, nal, max_len):
+    """The single-kernel Pallas package-merge (r4: the whole round loop +
+    counting pass in one Mosaic program — the XLA formulation measured
+    dispatch-bound, ~1.5 ms per 2K merge REGARDLESS of K) must be
+    bit-identical to the XLA twin, including duplicate weights, sentinel
+    tails, and the deep-tree/fibonacci profile. Interpret mode here; the
+    chip re-proof is scripts/exp_pm.py + chip_check."""
+    from huffman_tpu.ops.device_codebook import device_code_lengths
 
-    rng = np.random.default_rng(41)
-    cases = []
-    for k in (1, 2, 8, 128, 1024):
-        for _ in range(3):
-            a = np.sort(rng.integers(0, 1 << 31, k, dtype=np.uint32))
-            b = np.sort(rng.integers(0, 1 << 31, k, dtype=np.uint32))
-            cases.append((a, b))
-        # heavy duplicates + sentinel tails (the real call pattern:
-        # (w<<1|flag) keys with _INF<<1 padding)
-        a = np.sort(rng.integers(0, 8, k, dtype=np.uint32) << 1)
-        b = np.full(k, np.uint32((1 << 30) << 1 | 1), dtype=np.uint32)
-        b[: k // 2] = np.sort(
-            rng.integers(0, 8, k // 2, dtype=np.uint32) << 1 | 1
-        )
-        cases.append((a, np.sort(b)))
-    for a, b in cases:
-        got = np.asarray(_bitonic_merge_u32(jnp.asarray(a), jnp.asarray(b)))
-        want = np.sort(np.concatenate([a, b]), kind="stable")
-        assert np.array_equal(got, want), (a.size, a[:4], b[:4])
+    rng = np.random.default_rng(K + nal + max_len)
+    freqs = np.zeros(MAX_SYMBOLS, np.int64)
+    idx = rng.choice(4096, nal, replace=False)
+    if nal >= 30:  # fibonacci head forces deep optimal trees
+        fib = [1, 1]
+        while len(fib) < 30:
+            fib.append(fib[-1] + fib[-2])
+        freqs[idx[:30]] = fib
+        freqs[idx[30:]] = np.clip(rng.zipf(1.3, max(nal - 30, 0)), 1, 1 << 20)
+    else:
+        freqs[idx] = np.clip(rng.zipf(1.3, nal), 1, 1 << 20)
+    want = np.asarray(device_code_lengths(
+        jnp.asarray(freqs.astype(np.int32)), max_len=max_len, alphabet_cap=K
+    ))
+    # use_kernel inside jit routes through _lengths_by_rank_pallas; on CPU
+    # the Mosaic kernel only runs interpreted, so drive the private entry.
+    from huffman_tpu.ops import device_codebook as dc
+
+    present = freqs > 0
+    leaf_w = np.where(present, freqs, dc._INF)
+    order = np.lexsort((np.arange(MAX_SYMBOLS), leaf_w))[:K]
+    leaf_keys = leaf_w[order].astype(np.uint32) << 1
+    n = int(present.sum())
+    got_rank = np.asarray(dc._lengths_by_rank_pallas(
+        jnp.asarray(leaf_keys), jnp.int32(n), max_len, K, interpret=True
+    ))
+    want_rank = want[order]
+    if n == 1:
+        # the degenerate 1-bit fix is applied OUTSIDE the kernel
+        want_rank = want_rank.copy()
+        want_rank[0] = got_rank[0]
+    assert np.array_equal(got_rank[:n], want_rank[:n])

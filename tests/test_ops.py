@@ -55,13 +55,16 @@ def test_histogram_scatter_with_valid_count():
     assert got[5] == 2 and got[7] == 1 and got[9] == 1
 
 
-@pytest.mark.parametrize("cell,int8_cmp", [(4096, False), (4096, True),
-                                           (8192, True), (16384, True)])
-def test_histogram_pallas_variants_match_bincount(cell, int8_cmp):
-    """The Pallas histogram's perf knobs (cell width, int8-domain
-    compares) are bit-invariant: int8 wraps 0..255 onto -128..127
-    bijectively, so equality survives the cast. Interpret mode; the chip
-    re-proof is perf_hist.py's pre-timing check."""
+@pytest.mark.parametrize("cell,cmp_dtype", [(4096, "int32"), (4096, "int8"),
+                                            (8192, "int16"), (16384, "int16"),
+                                            (16384, "int8")])
+def test_histogram_pallas_variants_match_bincount(cell, cmp_dtype):
+    """The Pallas histogram's perf knobs (cell width, narrow compare
+    domain) are bit-invariant: int16 holds bytes directly and int8 wraps
+    0..255 onto -128..127 bijectively, so equality survives the cast.
+    Interpret mode; the chip re-proof is perf_hist.py's pre-timing check
+    (NOTE: int8 compares fail MOSAIC compile on the v5e — interpret-mode
+    passing here proves the math only, not chip support)."""
     from huffman_tpu.ops.pallas_hist import histogram_pallas
 
     rng = np.random.default_rng(5)
@@ -73,7 +76,7 @@ def test_histogram_pallas_variants_match_bincount(cell, int8_cmp):
     expected = np.bincount(symbols, minlength=MAX_SYMBOLS)
     got = np.asarray(histogram_pallas(
         jnp.asarray(symbols.astype(np.int32)), interpret=True,
-        cell=cell, int8_cmp=int8_cmp,
+        cell=cell, cmp_dtype=cmp_dtype,
     ))
     np.testing.assert_array_equal(got, expected)
 

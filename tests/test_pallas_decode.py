@@ -50,7 +50,8 @@ def _setup(seed, n_real, B, alphabet_size, skew=True):
     return symbols, n_pairs, cb, streams, n_lanes
 
 
-def _run_kernel(cb, streams, n_real, B, translate=True, sym_order_dev=None):
+def _run_kernel(cb, streams, n_real, B, translate=True, sym_order_dev=None,
+                packed_out=False):
     stacked, _ = il.pad_streams(streams)
     ngroups = len(streams)
     rows_per = stacked.shape[0] // ngroups
@@ -73,6 +74,7 @@ def _run_kernel(cb, streams, n_real, B, translate=True, sym_order_dev=None):
         translate=translate,
         interpret=jax.devices()[0].platform == "cpu",
         sym_order_dev=sym_order_dev,
+        packed_out=packed_out,
     )
     return np.asarray(out), ngroups
 
@@ -118,6 +120,36 @@ def test_kernel_rank_mode_device_translate():
     )
     dec = out.reshape(ngroups, B, 8, 128).transpose(0, 2, 3, 1).reshape(-1)[:n_pairs]
     np.testing.assert_array_equal(dec, symbols.astype(np.int32))
+
+
+def test_kernel_rank_mode_packed_translate():
+    """packed_out with translate=False (r4): the kernel's packed RANK
+    pairs translate in-program to packed SYMBOL pairs — both halves of
+    every word look up the packed-16 table; no unpack to one-rank-per-word
+    ever materializes (the container's and bench's rank-tier layout)."""
+    B = 16
+    symbols, n_pairs, cb, streams, _ = _setup(7, 600, B, 300)
+    out, ngroups = _run_kernel(
+        cb, streams, 600, B, translate=False,
+        sym_order_dev=jnp.asarray(cb.sym_order.astype(np.int32)),
+        packed_out=True,
+    )
+    dec = (
+        out.reshape(ngroups, B // 2, 8, 128)
+        .transpose(0, 2, 3, 1)
+        .astype(np.uint32)
+        .copy(order="C")
+        .view("<u2")
+        .reshape(-1)[:n_pairs]
+    )
+    np.testing.assert_array_equal(dec, symbols)
+
+
+def test_packed_out_rank_mode_requires_sym_order():
+    B = 16
+    symbols, n_pairs, cb, streams, _ = _setup(9, 600, B, 300)
+    with pytest.raises(ValueError, match="sym_order_dev"):
+        _run_kernel(cb, streams, 600, B, translate=False, packed_out=True)
 
 
 def test_kernel_wide_alphabet_in_kernel_tier():
