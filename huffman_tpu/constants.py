@@ -53,7 +53,11 @@ WINDOW_ROWS = GROUP_LANES // 128 + 1  # decoder refill-window rows
 # lengths being invariant to any cap >= n_unique (sentinel-padded tails
 # never enter the level counts; pinned by tests/test_device_codebook.py),
 # NOT on the host consulting these tiers.
-ALPHABET_TIERS = (4096, 16384, MAX_SYMBOLS)
+# The 32768 rung (r4): with the Pallas package-merge kernel the codebook
+# cost is flat in the cap, but the rank-select DENSE GATHER still scales
+# with it (6.5 ms at 32768 vs 11.3 at 65536 per 16 MiB on the v5e) — the
+# extra rung halves the top-tier gather for 16K-32K-unique inputs.
+ALPHABET_TIERS = (4096, 16384, 32768, MAX_SYMBOLS)
 
 # Native container magic / version.
 NATIVE_MAGIC = 0x48545055  # "HTPU"

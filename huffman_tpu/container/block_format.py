@@ -847,20 +847,23 @@ def _decode_v2(c: ParsedContainer, backend) -> np.ndarray:
     import jax.numpy as jnp
 
     from ..ops import pallas_decode as pd
-    from ..ops.pallas_decode import DEFAULT_MULTI, build_symtab
+    from ..ops.pallas_decode import build_symtab
 
     cb = c.codebook
     stacked, _ = il.pad_streams(list(c.streams))
     rows_per = stacked.shape[0] // c.ngroups
-    # Pad the group count to the kernel's multi-chain width on the host —
-    # decode_groups would otherwise copy the whole device-resident payload
-    # inside jit just to append empty groups.
-    ngroups_p = -(-c.ngroups // DEFAULT_MULTI) * DEFAULT_MULTI
+    # The chain-interleave width is mode-dependent (rank mode hides one
+    # more chain; pallas_decode.default_multi). Resolve it here because
+    # the group-count padding below must match the kernel's width — and
+    # pad on the host: decode_groups would otherwise copy the whole
+    # device-resident payload inside jit just to append empty groups.
+    symtab, sym_rows, translate = build_symtab(cb.sym_order)
+    multi = pd.default_multi(bool(translate))
+    ngroups_p = -(-c.ngroups // multi) * multi
     if ngroups_p != c.ngroups:
         stacked = np.vstack(
             [stacked, np.zeros(((ngroups_p - c.ngroups) * rows_per, 128), stacked.dtype)]
         )
-    symtab, sym_rows, translate = build_symtab(cb.sym_order)
     meta = np.zeros((ngroups_p, 4), dtype=np.int32)
     for g in range(c.ngroups):
         meta[g, 0] = max(0, min(GROUP_LANES, c.num_blocks - g * GROUP_LANES))
@@ -876,6 +879,7 @@ def _decode_v2(c: ParsedContainer, backend) -> np.ndarray:
         sym_rows,
         max_len=max(cb.max_len, 1),
         translate=bool(translate),
+        multi=multi,  # must match the host-side group padding above
         min_len=(
             int(cb.lengths[cb.lengths > 0].min()) if cb.n_unique else 1
         ),

@@ -362,10 +362,23 @@ def device_canonical_tables(lengths: jax.Array):
     # exactly 2^32) is detected explicitly.
     lengths = lengths.astype(jnp.int32)
     n_sym = lengths.shape[0]
-    counts = jnp.zeros((MAX_CODE_LEN + 2,), jnp.int32).at[lengths].add(
-        jnp.where(lengths > 0, 1, 0)
-    )
-    counts = counts[: MAX_CODE_LEN + 1]  # counts[l] = #codes of length l
+
+    # Length-class one-hot, (L+1, n_sym) with the absent class last: one
+    # structure feeds the per-length counts, the canonical ranks, AND the
+    # within-class prefix counts — replacing r3's unsorted scatter-add +
+    # 65,536-element two-key sort (the sort alone measured ~1.5 ms of the
+    # 2.27 ms table build, r4 perf_tiers). The class axis is tiny, so
+    # every "lookup" is a masked sum over it — no gathers anywhere.
+    sort_len = jnp.where(lengths > 0, lengths, jnp.int32(MAX_CODE_LEN + 1))
+    C = MAX_CODE_LEN + 1
+    cls_ids = jnp.arange(C, dtype=jnp.int32)
+    onehot = (
+        (sort_len - 1)[None, :] == cls_ids[:, None]
+    ).astype(jnp.int32)  # (C, n_sym); class c = length c+1, class L = absent
+    totals = jnp.sum(onehot, axis=1)  # (C,)
+    counts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), totals[:MAX_CODE_LEN]]
+    )  # counts[l] = #codes of length l
 
     # first[l] = canonical first code of length l: first[l+1] =
     # (first[l] + count[l]) << 1, unrolled at trace time. Values are
@@ -377,11 +390,13 @@ def device_canonical_tables(lengths: jax.Array):
         )
     first = jnp.stack(first_list[: MAX_CODE_LEN + 1])  # (L+1,)
 
-    # Canonical rank: symbols sorted by (length, symbol); rank via sort.
-    sym_ids = jnp.arange(n_sym, dtype=jnp.int32)
-    sort_len = jnp.where(lengths > 0, lengths, jnp.int32(MAX_CODE_LEN + 1))
-    _, sorted_sym = jax.lax.sort((sort_len, sym_ids), num_keys=2)
-    sym_rank = jnp.zeros((n_sym,), jnp.int32).at[sorted_sym].set(sym_ids)
+    # Canonical rank (order by (length, symbol), absent symbols last):
+    # rank(s) = #symbols in earlier classes + exclusive prefix count of s
+    # within its own class — both straight off the one-hot, selected by a
+    # masked sum over the tiny class axis.
+    within = jnp.cumsum(onehot, axis=1) - onehot  # exclusive, per class
+    class_start = jnp.cumsum(totals) - totals     # exclusive over classes
+    sym_rank = jnp.sum(onehot * (within + class_start[:, None]), axis=0)
 
     # rank within its length class = rank - #codes of shorter lengths
     cum_shorter = jnp.concatenate(

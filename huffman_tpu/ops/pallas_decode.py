@@ -65,16 +65,30 @@ assert GROUP_LANES == _constants.GROUP_LANES, (
     "constants.GROUP_LANES must track the kernel group size"
 )
 assert WINDOW_ROWS == SUBLANES + 1  # max refill slot is 127 + GROUP_LANES
-GATHER_MAX_ALPHABET = 16384     # in-kernel rank->symbol translation limit
-                                # (64 packed table rows; larger alphabets
-                                # emit ranks and the caller translates with
-                                # an in-jit XLA gather — sym_order_dev)
+# In-kernel rank->symbol translation limit (64 packed table rows; larger
+# alphabets emit ranks and the caller translates in-jit with the packed
+# pair-gather kernel). MEASURED r4 (16 MiB, 30k zipf, multi=3): extending
+# in-kernel to 128 rows vs rank mode + pair-gather pass — see RESULTS.md;
+# the env override exists for the perf harness to re-probe the boundary.
+GATHER_MAX_ALPHABET = int(
+    os.environ.get("HTPU_GATHER_MAX_ALPHABET", "16384")
+)
 DEFAULT_MULTI = 3               # independent groups interleaved per kernel
                                 # instance: the per-chain step is a serial
                                 # dependency chain, so extra chains fill the
                                 # VPU's latency bubbles (measured r2 on 33
                                 # groups/32 MiB: multi 2/3/4 = 9.6/10.8/9.2
                                 # GB/s — 3 wins; 4 pays VMEM + pad waste)
+DEFAULT_MULTI_RANK = 4          # rank mode drops the in-kernel symtab
+                                # gather, shortening the serial chain —
+                                # it hides one more chain (measured r4,
+                                # 16 MiB/30k zipf: multi 2/3/4/5/6 =
+                                # 4.20/4.25/4.72/4.13/4.45 GB/s)
+
+
+def default_multi(translate: bool) -> int:
+    """The shipping chain-interleave width for a decode mode."""
+    return DEFAULT_MULTI if translate else DEFAULT_MULTI_RANK
 
 # Perf-ablation knobs (scripts/perf_decode.py): comma-separated names in
 # HTPU_ABLATE disable kernel pieces AT TRACE TIME to attribute step cost.
@@ -364,7 +378,7 @@ def decode_groups(
     sym_rows: int,
     max_len: int = MAX_CODE_LEN,
     translate: bool = True,
-    multi: int = DEFAULT_MULTI,
+    multi: int | None = None,  # None = default_multi(translate)
     min_len: int = 1,
     interpret: bool = False,
     sym_order_dev: jax.Array | None = None,  # (n,) int32 rank -> symbol
@@ -390,6 +404,8 @@ def decode_groups(
 
     # Pad the group count to a multiple of `multi` with empty groups
     # (n_real = 0 lanes never consume stream words).
+    if multi is None:
+        multi = default_multi(translate)
     multi = max(1, min(multi, max(ngroups, 1)))
     pad_g = (-ngroups) % multi
     if pad_g:

@@ -39,7 +39,10 @@ from jax.experimental.pallas import tpu as pltpu
 from ..constants import MAX_SYMBOLS
 from .pallas_decode import LANES
 
-_C = 4096  # symbols per grid cell (default; see histogram_pallas(cell=))
+# Symbols per grid cell. MEASURED (r4 perf_hist, 16 MiB): 4096/8192/16384
+# = 5.16/5.01/4.91 ms — wider cells amortize grid overhead slightly; the
+# (256, C) int8 one-hot pair at C=16384 (8 MiB) still fits VMEM.
+_C = 16384
 
 
 def _hist_kernel(sym_ref, out_ref, acc_ref, *, cells: int, C: int,
