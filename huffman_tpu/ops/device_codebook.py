@@ -59,9 +59,13 @@ LANES = 128
 _INF = 1 << 30
 
 
-def _pm_kernel(asc_ref, rev_ref, n_ref, out_ref, x_ref, flags_ref, *,
+def _pm_kernel(freq_ref, n_ref, len_ref, sym_ref, x_ref, flags_ref, *,
                K: int, max_len: int):
-    """Entire boundary package-merge loop as ONE Mosaic kernel.
+    """Entire boundary package-merge as ONE Mosaic kernel — including the
+    initial (weight, symbol) sort (r4b: the XLA two-key sort was ~1 ms of
+    the ~1.4 ms that remained after the first kernel version; the full
+    in-kernel bitonic sort with a carried symbol payload costs ~136
+    vector passes).
 
     MEASURED MOTIVATION (r4, scripts/exp_merge.py): as an XLA op sequence
     the rounds are dispatch-bound — a 2K-item merge costs ~1.5 ms whether
@@ -81,15 +85,19 @@ def _pm_kernel(asc_ref, rev_ref, n_ref, out_ref, x_ref, flags_ref, *,
     packaging deinterleaves even/odd elements with two static lane
     gathers + a leading-dim reshape. The merge consumes
     ``[reversed(leaves) ++ packages]`` — descending-then-ascending is
-    bitonic, and reversing the CONSTANT leaf list once outside the kernel
-    removes any in-kernel flip.
+    bitonic — with the constant leaf list reversed ONCE after the sort
+    (composed XOR row swaps + one reversed lane gather).
 
-    Level flags (the key LSBs) land in an int8 VMEM scratch; the backward
-    counting pass (take c items at the deepest level, p packages there
-    expand to 2p one level down) then runs in-kernel too, so the only
-    output is the (K,) lengths-by-rank vector. Bit-identical to the XLA
-    twin below: ties carry identical (weight, flag) keys, so any stable
-    or unstable order yields the same flag sequence.
+    The leaf sort runs over the FULL dense histogram (absent symbols
+    carry the _INF sentinel weight; ties break on the symbol payload, so
+    the order is exactly the XLA twin's stable (weight, symbol) two-key
+    sort), then the first K ranks feed the rounds. Level flags (the key
+    LSBs) land in an int8 VMEM scratch; the backward counting pass (take
+    c items at the deepest level, p packages there expand to 2p one
+    level down) runs in-kernel too, so the outputs are just the (K,)
+    lengths-by-rank and leaf-symbol vectors. Bit-identical to the XLA
+    twin below: merge ties carry identical (weight, flag) keys, so any
+    stable or unstable merge order yields the same flag sequence.
 
     DTYPE NOTE (measured r4): Mosaic on the v5e does not legalize
     UNSIGNED vector min/max (`arith.minui` fails to compile — the same
@@ -102,6 +110,7 @@ def _pm_kernel(asc_ref, rev_ref, n_ref, out_ref, x_ref, flags_ref, *,
     """
     R2 = K // LANES
     R = 2 * R2
+    RS = freq_ref.shape[0]  # full-alphabet rows (n_sym / 128)
     bias = jnp.uint32(0x80000000)
     # Biased sentinel: the leaf sentinel key is _INF<<1 = 2^31, which the
     # sign bias maps to exactly 0 (the largest biased value is the
@@ -118,10 +127,68 @@ def _pm_kernel(asc_ref, rev_ref, n_ref, out_ref, x_ref, flags_ref, *,
     idx_even = (2 * lane_r) & 127
     idx_odd = idx_even + 1
 
+    # ---- in-kernel leaf sort: full bitonic sort of (weight, symbol) ----
+    # Weights stay plain positive int32 here (< 2^31: real weights < 2^30,
+    # sentinel _INF = 2^30), so signed compares give unsigned order
+    # without biasing; the symbol payload rides along and breaks ties —
+    # exactly the XLA twin's two-key sort order.
+    lane_s = jax.lax.broadcasted_iota(jnp.int32, (RS, LANES), 1)
+    row_s = jax.lax.broadcasted_iota(jnp.int32, (RS, LANES), 0)
+    glob_s = row_s * LANES + lane_s
+    f = freq_ref[:]
+    kw = jnp.where(f > 0, f, jnp.int32(_INF))
+    sym = glob_s
+    N = RS * LANES
+
+    def partner(v, j):
+        if j >= LANES:
+            d = j // LANES
+            lo = (row_s & d) == 0
+            return jnp.where(
+                lo, pltpu.roll(v, RS - d, 0), pltpu.roll(v, d, 0)
+            )
+        return jnp.take_along_axis(v, lane_s ^ j, axis=1)
+
+    k = 2
+    while k <= N:
+        # (for k == N every index has bit k clear: one final ascending merge)
+        asc_blk = (glob_s & k) == 0
+        j = k // 2
+        while j >= 1:
+            kp = partner(kw, j)
+            sp = partner(sym, j)
+            is_lower = (glob_s & j) == 0
+            want_small = is_lower == asc_blk
+            less = (kw < kp) | ((kw == kp) & (sym < sp))
+            sel_self = less == want_small
+            kw = jnp.where(sel_self, kw, kp)
+            sym = jnp.where(sel_self, sym, sp)
+            j //= 2
+        k *= 2
+    sym_ref[:] = sym[0:R2]
+
+    # Leaf merge keys: biased (w<<1 | 0) of the first K ranks; the merge
+    # consumes them REVERSED (descending ++ ascending packages is
+    # bitonic) — flip rows by composed XOR block swaps, lanes by a static
+    # reversed gather.
+    asc_leaves = pltpu.bitcast(
+        (pltpu.bitcast(kw[0:R2], jnp.uint32) << 1) ^ bias, jnp.int32
+    )
+    rev_leaves = asc_leaves
+    s = R2 // 2
+    while s >= 1:
+        lo = (jax.lax.broadcasted_iota(jnp.int32, (R2, LANES), 0) & s) == 0
+        rev_leaves = jnp.where(
+            lo,
+            pltpu.roll(rev_leaves, R2 - s, 0),
+            pltpu.roll(rev_leaves, s, 0),
+        )
+        s //= 2
+    rev_leaves = jnp.take_along_axis(rev_leaves, 127 - lane_h, axis=1)
+
     # Round 1 list: ascending biased leaves ++ sentinel pad (biased 0).
-    x_ref[0:R2] = asc_ref[:]
+    x_ref[0:R2] = asc_leaves
     x_ref[R2:R] = jnp.zeros((R2, LANES), jnp.int32)
-    rev_leaves = rev_ref[:]
 
     for rnd in range(max_len - 1):
         xv = x_ref[:]
@@ -182,40 +249,40 @@ def _pm_kernel(asc_ref, rev_ref, n_ref, out_ref, x_ref, flags_ref, *,
         c = 2 * p
     # level 0 (the leaves list) has no packages: p = 0, m = c.
     lengths = lengths + (glob_h < c).astype(jnp.int32)
-    out_ref[:] = lengths
+    len_ref[:] = lengths
 
 
-def _lengths_by_rank_pallas(leaf_keys: jax.Array, n: jax.Array,
-                            max_len: int, K: int,
-                            interpret: bool = False) -> jax.Array:
-    """Run the package-merge kernel; returns (K,) int32 lengths by leaf
-    rank. leaf_keys is the ascending (K,) uint32 fused-key list."""
+def _pm_pallas(freqs: jax.Array, n: jax.Array, max_len: int, K: int,
+               interpret: bool = False):
+    """Run the full package-merge kernel (leaf sort included) on a dense
+    (n_sym,) int32 histogram; returns ``(lengths_by_rank (K,), leaf_sym
+    (K,))`` int32."""
+    n_sym = freqs.shape[0]
     R2 = K // LANES
-    # Sign-bias the keys OUTSIDE the kernel (see _pm_kernel dtype note):
-    # unsigned order maps onto the int32 order Mosaic's smin/smax honor.
-    biased = jax.lax.bitcast_convert_type(
-        leaf_keys ^ jnp.uint32(0x80000000), jnp.int32
-    )
-    asc = biased.reshape(R2, LANES)
-    rev = biased[::-1].reshape(R2, LANES)
+    freq2 = freqs.astype(jnp.int32).reshape(n_sym // LANES, LANES)
     n_row = jnp.zeros((1, LANES), jnp.int32).at[0, 0].set(n.astype(jnp.int32))
     kernel = functools.partial(_pm_kernel, K=K, max_len=max_len)
-    out = pl.pallas_call(
+    out_len, out_sym = pl.pallas_call(
         kernel,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((R2, LANES), jnp.int32),
+        out_shape=[
+            jax.ShapeDtypeStruct((R2, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((R2, LANES), jnp.int32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((2 * R2, LANES), jnp.int32),
             pltpu.VMEM((max_len - 1, 2 * R2, LANES), jnp.int8),
         ],
         interpret=interpret,
-    )(asc, rev, n_row)
-    return out.reshape(K)
+    )(freq2, n_row)
+    return out_len.reshape(K), out_sym.reshape(K)
 
 
 @functools.partial(
@@ -270,12 +337,15 @@ def device_code_lengths(
     # like the two-queue's shallow preference reversed; either is optimal.
     leaf_keys = leaf_w.astype(jnp.uint32) << 1
     ranks = jnp.arange(K, dtype=jnp.int32)
-    if use_kernel and K >= LANES * 2 and K % LANES == 0 and max_len >= 2:
-        # The hot path: all rounds + the counting pass as one Mosaic
-        # kernel (bit-identical to the XLA twin below — see _pm_kernel).
-        lengths_by_rank = _lengths_by_rank_pallas(leaf_keys, n, max_len, K)
+    if (use_kernel and K >= LANES * 2 and K % LANES == 0
+            and n_sym % LANES == 0 and max_len >= 2):
+        # The hot path: leaf sort + all rounds + the counting pass as one
+        # Mosaic kernel (bit-identical to the XLA twin below, including
+        # its stable (weight, symbol) leaf order — see _pm_kernel). The
+        # XLA leaf sort above is dead code on this branch and DCE'd.
+        lengths_by_rank, leaf_sym_k = _pm_pallas(freqs, n, max_len, K)
         return _finish_lengths(
-            lengths_by_rank, leaf_sym, present, ranks, n, n_sym, K
+            lengths_by_rank, leaf_sym_k, present, ranks, n, n_sym, K
         )
     # Level lists: length 2K (leaves ++ packages), sentinel padded.
     # flags[l][i] == True if item i of level l's list is a package.

@@ -124,13 +124,17 @@ def build_symtab(sym_order: np.ndarray):
 
 
 def _pack_rows_for(n_symbols: int) -> int:
-    """Rows (of 128 words, two 16-bit entries each) for a packed-16 table
-    holding ``n_symbols`` entries, rounded up to a power of two."""
+    """Rows (of 128 words, two 16-bit entries each) for the TRANSLATE-PASS
+    packed-16 table holding ``n_symbols`` entries, rounded up to 8-row
+    granularity (min 16). The pair-gather's select tree costs ~linearly
+    in rows, so pow2 bucketing wasted up to ~2x tree depth (a 30k
+    alphabet needs 118 rows; pow2 padded it to 128); 8-row steps cap the
+    waste at ~7% while keeping the compile-shape class count modest
+    (<= 24 classes for the >16,384-symbol alphabets that reach this
+    path)."""
     n_pack = (n_symbols + 1) // 2
-    rows = 1
-    while rows * LANES < n_pack:
-        rows <<= 1
-    return rows
+    rows = (n_pack + LANES - 1) // LANES
+    return max(16, (rows + 7) // 8 * 8)
 
 
 def _lane_gather_i32(rows: jax.Array, idx: jax.Array) -> jax.Array:
@@ -358,6 +362,14 @@ def _decode_kernel(
         return tuple(new)
 
     jax.lax.fori_loop(0, half, body, tuple(init(j) for j in range(multi)))
+    # NOTE (measured r4, 16 MiB/30k/multi=4): translating rank pairs as
+    # an in-kernel POST-pass over the VMEM-resident output block measured
+    # 4.37 GB/s vs 4.94 for the SEPARATE pair-gather kernel — the bulk
+    # pass pipelines its own grid while this kernel's next group decodes,
+    # whereas a post-loop appends pure serial VPU time to every grid
+    # step. Rank translation therefore stays a separate pass
+    # (gather_u16_pairs_pallas); per-STEP in-kernel translation at 128
+    # rows is worse still (3.02 — it lands on the serial decode chain).
 
 
 @functools.partial(
@@ -477,13 +489,14 @@ def decode_groups(
             else:
                 from .pallas_gather import gather_u16_pairs_pallas
 
+                rows = _pack_rows_for(n)
                 so = sym_order_dev.astype(jnp.uint32)
-                even = jnp.zeros(
-                    (_pack_rows_for(n) * LANES,), jnp.uint32
-                ).at[: (n + 1) // 2].set(so[0::2])
-                odd = jnp.zeros(
-                    (_pack_rows_for(n) * LANES,), jnp.uint32
-                ).at[: n // 2].set(so[1::2])
+                even = jnp.zeros((rows * LANES,), jnp.uint32).at[
+                    : (n + 1) // 2
+                ].set(so[0::2])
+                odd = jnp.zeros((rows * LANES,), jnp.uint32).at[: n // 2].set(
+                    so[1::2]
+                )
                 packed = gather_u16_pairs_pallas(packed, even | (odd << 16))
         out = packed.reshape(ngroups_p, half, SUBLANES, LANES)
         return out[:ngroups] if pad_g else out
@@ -501,15 +514,11 @@ def decode_groups(
         if interpret:
             out = jnp.take(sym_order_dev.astype(jnp.int32), out, mode="clip")
         else:
-            # Dense packed-16 Pallas gather: ~16x XLA's per-element gather
-            # for the 16K-64K-alphabet translation pass.
+            # Dense packed-16 Pallas gather for the unpacked layout.
             from .pallas_gather import gather_u16_pallas
 
             n = sym_order_dev.shape[0]
-            n_pack = (n + 1) // 2
-            rows = 1
-            while rows * LANES < n_pack:
-                rows <<= 1
+            rows = _pack_rows_for(n)
             so = sym_order_dev.astype(jnp.uint32)
             even = jnp.zeros((rows * LANES,), jnp.uint32).at[: (n + 1) // 2].set(
                 so[0::2]

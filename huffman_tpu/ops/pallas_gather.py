@@ -423,7 +423,7 @@ def gather_u16_pairs_pallas(
     flat = packed_idx.reshape(-1).astype(jnp.int32)
     n = flat.shape[0]
     tile = SUBLANES * LANES
-    per_cell = 8 if interpret else 32
+    per_cell = 8 if interpret else 64
     chunk = tile * per_cell
     pad = (-n) % chunk
     if pad:

@@ -201,7 +201,11 @@ def test_pallas_package_merge_kernel_matches_xla(K, nal, max_len):
     from huffman_tpu.ops.device_codebook import device_code_lengths
 
     rng = np.random.default_rng(K + nal + max_len)
-    freqs = np.zeros(MAX_SYMBOLS, np.int64)
+    # A 4096-wide dense histogram: both paths take generic (n_sym,)
+    # inputs, and the interpreter pays per element per network pass — the
+    # full 65,536 alphabet is chip territory (scripts/exp_pm.py).
+    n_sym = 4096
+    freqs = np.zeros(n_sym, np.int64)
     idx = rng.choice(4096, nal, replace=False)
     if nal >= 30:  # fibonacci head forces deep optimal trees
         fib = [1, 1]
@@ -214,18 +218,21 @@ def test_pallas_package_merge_kernel_matches_xla(K, nal, max_len):
     want = np.asarray(device_code_lengths(
         jnp.asarray(freqs.astype(np.int32)), max_len=max_len, alphabet_cap=K
     ))
-    # use_kernel inside jit routes through _lengths_by_rank_pallas; on CPU
-    # the Mosaic kernel only runs interpreted, so drive the private entry.
+    # use_kernel inside jit routes through _pm_pallas; on CPU the Mosaic
+    # kernel only runs interpreted, so drive the private entry.
     from huffman_tpu.ops import device_codebook as dc
 
     present = freqs > 0
     leaf_w = np.where(present, freqs, dc._INF)
-    order = np.lexsort((np.arange(MAX_SYMBOLS), leaf_w))[:K]
-    leaf_keys = leaf_w[order].astype(np.uint32) << 1
+    order = np.lexsort((np.arange(n_sym), leaf_w))[:K]
     n = int(present.sum())
-    got_rank = np.asarray(dc._lengths_by_rank_pallas(
-        jnp.asarray(leaf_keys), jnp.int32(n), max_len, K, interpret=True
+    got_rank, got_sym = (np.asarray(a) for a in dc._pm_pallas(
+        jnp.asarray(freqs.astype(np.int32)), jnp.int32(n), max_len, K,
+        interpret=True,
     ))
+    # The in-kernel (weight, symbol) bitonic sort must reproduce the
+    # stable two-key order exactly — the symbol scatter rides on it.
+    assert np.array_equal(got_sym, order)
     want_rank = want[order]
     if n == 1:
         # the degenerate 1-bit fix is applied OUTSIDE the kernel
