@@ -13,10 +13,10 @@ the other half of the headline.
 Four metric lines (the driver parses the first two as the headline pair):
   1. decode, silesia-like 32 MiB (~3k unique pairs)  / 5.0
   2. encode, silesia-like 32 MiB                      / 2.0
-  3. decode, wide 30k-unique-pair zipf 16 MiB         / 5.0  (rank tier +
+  3. decode, wide 30k-unique-pair zipf 32 MiB         / 5.0  (rank tier +
      in-jit packed-16 translate — the data-adaptive path most likely to
      regress under tier churn, VERDICT r2 #8)
-  4. encode, wide 30k 16 MiB                          / 1.0  (the full-
+  4. encode, wide 30k 32 MiB                          / 1.0  (the full-
      alphabet lax.switch tier; VERDICT r2 missing #1 target)
 
 Method: the Pallas group decoder is timed steady-state on device-resident
@@ -204,7 +204,11 @@ def main() -> None:
         f"silesia_like_{size_mb}MB", on_tpu,
         dec_baseline=5.0, enc_baseline=2.0,
     )
-    wide_mb = min(size_mb, 16)
+    # Same payload size as the headline pair (r4: the wide tier
+    # originally ran at 16 MiB, understating it ~3-4% — larger payloads
+    # amortize the per-launch fixed cost exactly as the 32 vs 64 MiB
+    # headline comparison in RESULTS.md shows).
+    wide_mb = size_mb
     bench_pair(
         _wide30k(wide_mb << 20),
         f"wide30k_{wide_mb}MB", on_tpu,

@@ -125,16 +125,16 @@ def build_symtab(sym_order: np.ndarray):
 
 def _pack_rows_for(n_symbols: int) -> int:
     """Rows (of 128 words, two 16-bit entries each) for the TRANSLATE-PASS
-    packed-16 table holding ``n_symbols`` entries, rounded up to 8-row
+    packed-16 table holding ``n_symbols`` entries, rounded up to 2-row
     granularity (min 16). The pair-gather's select tree costs ~linearly
     in rows, so pow2 bucketing wasted up to ~2x tree depth (a 30k
-    alphabet needs 118 rows; pow2 padded it to 128); 8-row steps cap the
-    waste at ~7% while keeping the compile-shape class count modest
-    (<= 24 classes for the >16,384-symbol alphabets that reach this
-    path)."""
+    alphabet needs 118 rows; pow2 padded it to 128). 2-row steps track
+    the exact need (measured r4: 118 vs 120 rows = 2.447 vs 2.467 ms /
+    16 MiB); one stream set uses one alphabet size, so the extra
+    compile-shape classes cost nothing in practice."""
     n_pack = (n_symbols + 1) // 2
     rows = (n_pack + LANES - 1) // LANES
-    return max(16, (rows + 7) // 8 * 8)
+    return max(16, (rows + 1) // 2 * 2)
 
 
 def _lane_gather_i32(rows: jax.Array, idx: jax.Array) -> jax.Array:
@@ -142,23 +142,35 @@ def _lane_gather_i32(rows: jax.Array, idx: jax.Array) -> jax.Array:
     with values < R*128. Each row is a native per-element lane gather
     (~35 Gelem/s measured); the row results combine through a BALANCED
     select tree — a linear where-chain makes the dependency depth R, which
-    dominates at 32-row symbol tables."""
+    dominates at 32-row symbol tables.
+
+    The tree selects on the BITS of the row index: level k pairs nodes
+    whose leaf ranges differ exactly in bit k, so ONE predicate per level
+    (ceil(log2 R) total) replaces the per-node range compare (R-1 of
+    them) a midpoint tree needs — at 120-row tables that is ~30% of the
+    whole gather's vector ops (measured r4: the wide-alphabet translate
+    pass 2.48 -> 1.68 ms / 16 MiB). A trailing odd node passes through
+    unpaired; that is exact for any in-range index because a node's leaf
+    range is a bit-aligned block."""
     r = idx >> 7
     m = idx & 127
-    leaves = [
+    nodes = [
         jnp.take_along_axis(
             jnp.broadcast_to(rows[q][None, :], idx.shape), m, axis=1
         )
         for q in range(rows.shape[0])
     ]
-
-    def tree(lo: int, hi: int) -> jax.Array:
-        if hi - lo == 1:
-            return leaves[lo]
-        mid = (lo + hi) // 2
-        return jnp.where(r >= mid, tree(mid, hi), tree(lo, mid))
-
-    return tree(0, len(leaves))
+    k = 0
+    while len(nodes) > 1:
+        bit = (r & (1 << k)) != 0
+        nodes = [
+            jnp.where(bit, nodes[q + 1], nodes[q])
+            if q + 1 < len(nodes)
+            else nodes[q]
+            for q in range(0, len(nodes), 2)
+        ]
+        k += 1
+    return nodes[0]
 
 
 def _prefix_rank(mask: jax.Array, tril128: jax.Array):

@@ -394,11 +394,12 @@ def _u16_pair_gather_kernel(table_ref, idx_ref, out_ref, *, n_tiles: int):
         u = pltpu.bitcast(idx_ref[t], jnp.uint32)
         halves = []
         for shift in (0, 16):
-            idx = pltpu.bitcast(
-                (u >> jnp.uint32(shift)) & jnp.uint32(0xFFFF), jnp.int32
-            )
+            # u >> 16 needs no mask; indices are non-negative by
+            # construction, so the bounds clamp is a single min.
+            half_u = u & jnp.uint32(0xFFFF) if shift == 0 else u >> 16
+            idx = pltpu.bitcast(half_u, jnp.int32)
             pair = _lane_gather_i32(
-                table_ref[:], jnp.clip(idx >> 1, 0, rows * LANES - 1)
+                table_ref[:], jnp.minimum(idx >> 1, rows * LANES - 1)
             )
             val = pltpu.bitcast(pair, jnp.uint32) >> (
                 ((idx & 1) << 4).astype(jnp.uint32)
@@ -407,11 +408,12 @@ def _u16_pair_gather_kernel(table_ref, idx_ref, out_ref, *, n_tiles: int):
         out_ref[t] = pltpu.bitcast(halves[0] | (halves[1] << 16), jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "per_cell"))
 def gather_u16_pairs_pallas(
     packed_idx: jax.Array,  # any shape, i32 words = lo_idx | hi_idx<<16
     packed16: jax.Array,    # (m,) int32/uint32 — value i at word i>>1, half i&1
     interpret: bool = False,
+    per_cell: int | None = None,
 ) -> jax.Array:
     """Dense 16-bit-table lookup of BOTH halves of packed index words;
     returns packed value words in the input's shape. Used by the decoder's
@@ -423,7 +425,8 @@ def gather_u16_pairs_pallas(
     flat = packed_idx.reshape(-1).astype(jnp.int32)
     n = flat.shape[0]
     tile = SUBLANES * LANES
-    per_cell = 8 if interpret else 64
+    if per_cell is None:
+        per_cell = 8 if interpret else 64
     chunk = tile * per_cell
     pad = (-n) % chunk
     if pad:

@@ -54,7 +54,22 @@ def _hist_kernel(sym_ref, out_ref, acc_ref, *, cells: int, C: int,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     sym = sym_ref[:].reshape(1, C)
-    if jnp.dtype(cmp_dtype) != jnp.dtype(jnp.int32):
+    if cmp_dtype in ("int8_arith", "int16_arith"):
+        # Narrow-lane one-hot WITHOUT cmpi (vector int8/int16 compares do
+        # not legalize on the v5e): in the wrapped narrow domain,
+        # y = x - i is 0 iff x == i, and (y | -y) has the sign bit set iff
+        # y != 0 (including y = MIN_INT, where -y wraps to MIN_INT), so
+        # ((y | -y) >> (bits-1)) + 1 is the 0/1 one-hot — five arithmetic
+        # ops on 4x/2x-packed lanes instead of one compare on int32 lanes.
+        dt = jnp.int8 if cmp_dtype == "int8_arith" else jnp.int16
+        sh = 7 if cmp_dtype == "int8_arith" else 15
+        ids = jax.lax.broadcasted_iota(jnp.int32, (256, C), 0).astype(dt)
+        planes = []
+        for v in (sym >> 8, sym & 0xFF):
+            y = jnp.broadcast_to(v.astype(dt), (256, C)) - ids
+            planes.append(((y | -y) >> sh) + dt(1))
+        hi, lo = planes
+    elif jnp.dtype(cmp_dtype) != jnp.dtype(jnp.int32):
         # Byte values land bijectively in the narrow domain (int8 wraps
         # 0..255 onto -128..127; int16 holds them directly): equality
         # survives the cast, and the compares run on 2x/4x-packed lanes.

@@ -62,7 +62,8 @@ def main():
               f"{n*2/sec/1e9:6.2f} GB/s", flush=True)
 
     for cell in (4096, 8192, 16384):
-        for cmp_dtype in ("int32", "int16", "int8"):
+        for cmp_dtype in ("int32", "int16", "int8",
+                          "int16_arith", "int8_arith"):
             rec(f"C={cell} cmp={cmp_dtype}",
                 functools.partial(histogram_pallas, cell=cell,
                                   cmp_dtype=cmp_dtype))
