@@ -89,3 +89,39 @@ def test_gather_u16_matches_table():
     idx = rng.integers(0, n, 5000).astype(np.int32)
     out = pg.gather_u16_pallas(jnp.asarray(idx), jnp.asarray(packed), interpret=True)
     np.testing.assert_array_equal(np.asarray(out), vals[idx].astype(np.int32))
+
+
+def test_gather_u16_pairs_matches_table_all_per_cells():
+    # The packed PAIR gather (the decoder's rank-tier translate pass)
+    # with the r4b knobs: per_cell override and exact-ish (2-row
+    # granularity) tables via pallas_decode._pack_rows_for.
+    from huffman_tpu.ops.pallas_decode import _pack_rows_for
+
+    rng = np.random.default_rng(9)
+    n = 30001  # odd, >16384: the rank tier's real territory
+    vals = rng.integers(0, 65536, n, dtype=np.int64).astype(np.uint32)
+    rows = _pack_rows_for(n)
+    assert rows == 118  # 15001 packed words -> 118 rows, not pow2's 128
+    even = np.zeros(rows * 128, np.uint32); even[: (n + 1) // 2] = vals[0::2]
+    odd = np.zeros(rows * 128, np.uint32); odd[: n // 2] = vals[1::2]
+    packed16 = even | (odd << 16)
+    lo = rng.integers(0, n, 4096).astype(np.uint32)
+    hi = rng.integers(0, n, 4096).astype(np.uint32)
+    packed_idx = (lo | (hi << 16)).view(np.int32)
+    want = (vals[lo] | (vals[hi] << 16)).view(np.int32)
+    for per_cell in (None, 4, 16):
+        out = pg.gather_u16_pairs_pallas(
+            jnp.asarray(packed_idx), jnp.asarray(packed16),
+            interpret=True, per_cell=per_cell,
+        )
+        np.testing.assert_array_equal(np.asarray(out), want)
+
+
+def test_pack_rows_for_granularity():
+    from huffman_tpu.ops.pallas_decode import _pack_rows_for
+
+    assert _pack_rows_for(1) == 16          # floor
+    assert _pack_rows_for(4096) == 16       # 2048 words -> 16 rows
+    assert _pack_rows_for(30000) == 118     # exact-ish, 2-row steps
+    assert _pack_rows_for(30001) == 118
+    assert _pack_rows_for(65536) == 256     # full alphabet
