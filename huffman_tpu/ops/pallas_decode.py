@@ -65,13 +65,19 @@ assert GROUP_LANES == _constants.GROUP_LANES, (
     "constants.GROUP_LANES must track the kernel group size"
 )
 assert WINDOW_ROWS == SUBLANES + 1  # max refill slot is 127 + GROUP_LANES
-# In-kernel rank->symbol translation limit (64 packed table rows; larger
+# In-kernel rank->symbol translation limit (16 packed table rows; larger
 # alphabets emit ranks and the caller translates in-jit with the packed
-# pair-gather kernel). MEASURED r4 (16 MiB, 30k zipf, multi=3): extending
-# in-kernel to 128 rows vs rank mode + pair-gather pass — see RESULTS.md;
-# the env override exists for the perf harness to re-probe the boundary.
+# PAIR-gather kernel, which pipelines as its own grid instead of riding
+# the serial decode chain). MEASURED r4b (32 MiB zipf, K=80,
+# rank(multi=4) vs in-kernel(multi=3)): 3k 12.40 vs 12.13, 6k 11.22 vs
+# 7.57, 12k 8.92 vs 5.27 GB/s — the old 16,384 boundary was tuned before
+# the pair-pass existed and is dominated everywhere above ~4k. 4096
+# keeps tiny/text alphabets (1-16 table rows, where the on-chain gather
+# is near-free and the pass would add its ~2 x payload DMA floor) on the
+# single-kernel path; the env override exists for the perf harness to
+# re-probe the boundary.
 GATHER_MAX_ALPHABET = int(
-    os.environ.get("HTPU_GATHER_MAX_ALPHABET", "16384")
+    os.environ.get("HTPU_GATHER_MAX_ALPHABET", "4096")
 )
 DEFAULT_MULTI = 3               # independent groups interleaved per kernel
                                 # instance: the per-chain step is a serial
@@ -110,9 +116,11 @@ def build_symtab(sym_order: np.ndarray):
     if not (0 < n <= GATHER_MAX_ALPHABET):
         return np.zeros(LANES, np.int32), 1, False
     n_pack = (n + 1) // 2
-    rows = 1
-    while rows * LANES < n_pack:
-        rows <<= 1
+    # Exact rows: the in-kernel select tree rides the SERIAL decode
+    # chain, so pow2 padding (a 12k alphabet costs 64 rows instead of
+    # 47) was pure chain latency. Mirrors the r4b translate-pass change
+    # (_pack_rows_for).
+    rows = max(1, (n_pack + LANES - 1) // LANES)
     even = np.zeros(n_pack, np.uint32)
     odd = np.zeros(n_pack, np.uint32)
     so = sym_order.astype(np.uint32)

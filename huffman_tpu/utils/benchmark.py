@@ -39,10 +39,10 @@ def silesia_like(n_bytes: int, seed: int = 0) -> np.ndarray:
     The noise section draws from a 1,024-pair subset (10 bits/pair entropy
     against the 16-bit raw coding — weakly compressible, like the binary
     sections of real corpora) rather than all 65,536 pairs, keeping the
-    corpus alphabet around ~4,000 symbols: inside the decoder's fastest
-    in-kernel translation tier (16 packed table rows; the in-kernel maximum
-    is GATHER_MAX_ALPHABET = 8192 at 32 rows) so the headline benchmark
-    measures the COMPLETE decode including rank->symbol translation."""
+    corpus alphabet around ~4,000 symbols: inside the decoder's in-kernel
+    translation tier (16 packed table rows; GATHER_MAX_ALPHABET = 4096 as
+    of r4b) so the headline benchmark measures the COMPLETE decode
+    including rank->symbol translation."""
     rng = np.random.default_rng(seed)
     n_text = int(n_bytes * 0.8)
     # Zipf over ~3000 byte-pair values drawn from printable-ASCII pairs.

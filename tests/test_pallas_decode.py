@@ -152,15 +152,34 @@ def test_packed_out_rank_mode_requires_sym_order():
         _run_kernel(cb, streams, 600, B, translate=False, packed_out=True)
 
 
-def test_kernel_wide_alphabet_in_kernel_tier():
-    """8K-16K alphabets decode with the in-kernel 64-row packed symbol
-    table (previously rank mode + host/XLA translation)."""
+def test_kernel_in_kernel_tier_boundary():
+    """The in-kernel packed symbol table serves alphabets up to
+    GATHER_MAX_ALPHABET (4096 as of r4b: above it, rank mode + the
+    pipelined pair-gather pass measures faster at every probed width —
+    RESULTS round-4b); rows are exact (ceil(n_pack/128)), not
+    pow2-padded."""
     B = 32
-    # skew=False + enough symbols so >8192 of the 12K alphabet realize
+    symbols, n_pairs, cb, streams, _ = _setup(8, 1024, B, 3900, skew=False)
+    assert 2048 < cb.n_unique <= 4096
+    symtab, sym_rows, tr = pd.build_symtab(cb.sym_order)
+    assert tr and sym_rows == -(-((cb.n_unique + 1) // 2) // 128)
+    out, ngroups = _run_kernel(cb, streams, 1024, B, translate=True)
+    dec = out.reshape(ngroups, B, 8, 128).transpose(0, 2, 3, 1).reshape(-1)[:n_pairs]
+    np.testing.assert_array_equal(dec, symbols.astype(np.int32))
+
+
+def test_kernel_mid_alphabet_takes_rank_tier():
+    """8K-16K alphabets now resolve to the rank tier (build_symtab
+    returns translate=False past 4096) and decode bit-exact through the
+    packed pair-translate pass inside one program."""
+    B = 32
     symbols, n_pairs, cb, streams, _ = _setup(8, 1024, B, 12000, skew=False)
     assert cb.n_unique > 8192
     symtab, sym_rows, tr = pd.build_symtab(cb.sym_order)
-    assert tr and sym_rows == 64
-    out, ngroups = _run_kernel(cb, streams, 1024, B, translate=True)
+    assert not tr
+    out, ngroups = _run_kernel(
+        cb, streams, 1024, B, translate=False,
+        sym_order_dev=jnp.asarray(cb.sym_order.astype(np.int32)),
+    )
     dec = out.reshape(ngroups, B, 8, 128).transpose(0, 2, 3, 1).reshape(-1)[:n_pairs]
     np.testing.assert_array_equal(dec, symbols.astype(np.int32))
