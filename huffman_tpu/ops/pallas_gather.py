@@ -268,13 +268,14 @@ def _rank_gather_kernel(mask_ref, cum_ref, dense_ref, sym_ref, out_ref,
         )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "per_cell"))
 def gather_rank_select(
     symbols: jax.Array,    # any shape, int32 values in [0, 65536)
     maskwords: jax.Array,  # (2048,) uint32
     cums: jax.Array,       # (2048,) int32
     dense: jax.Array,      # (cap,) uint32, cap % 128 == 0 (static bucket)
     interpret: bool = False,
+    per_cell: int | None = None,
 ) -> jax.Array:
     """Succinct-dictionary table lookup; returns uint32 in symbols' shape.
     Valid only for symbols marked present in the build (absent symbols
@@ -284,7 +285,8 @@ def gather_rank_select(
     flat = symbols.reshape(-1).astype(jnp.int32)
     n = flat.shape[0]
     tile = SUBLANES * LANES
-    per_cell = 8 if interpret else 64
+    if per_cell is None:
+        per_cell = 8 if interpret else 64
     chunk = tile * per_cell
     pad = (-n) % chunk
     if pad:

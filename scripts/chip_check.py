@@ -169,6 +169,20 @@ def _sweep_data(rng, kind, nbytes):
         from huffman_tpu.utils.benchmark import zipf_pairs
 
         return zipf_pairs(nbytes, 20000, rng).tobytes()
+    if kind.startswith("exact"):
+        # EXACTLY n unique symbols: every chosen symbol occurs at least
+        # once (the leading block), the rest zipf-weighted fill — lands
+        # the data-adaptive tier selection precisely on a ladder rung or
+        # its neighbor (constants.ALPHABET_TIERS switch boundaries, and
+        # the decode in-kernel/rank boundary at GATHER_MAX_ALPHABET).
+        n = int(kind[5:])
+        a = rng.choice(65536, n, replace=False).astype(np.uint16)
+        m = nbytes // 2
+        p = 1.0 / np.arange(1, n + 1, dtype=np.float64) ** 1.1
+        p /= p.sum()
+        syms = np.concatenate([a, rng.choice(a, m - n, p=p)])
+        rng.shuffle(syms)
+        return syms.astype("<u2").tobytes()
     raise ValueError(kind)
 
 
@@ -194,6 +208,19 @@ def sweep(n_seeds: int = 3) -> int:
         ("wide8k", 18, 2 << 20),      # in-kernel translate boundary
         ("rank20k", 18, 2 << 20),     # rank tier + in-jit translation
         ("text600", 18, 97 << 10),    # odd tail, tiny input, 1 group
+        # Tier-ladder SWITCH BOUNDARIES (VERDICT r3 #6): one config on
+        # each side of every ALPHABET_TIERS rung edge, so the lax.switch
+        # rung choice and the decode in-kernel/rank split (both at 4096)
+        # are exercised exactly at their decision points; exact40000
+        # lands the sweep itself on the top 65536 rung (the core check's
+        # 57k corpus also does, with a fixed seed).
+        ("exact4095", 18, 2 << 20),
+        ("exact4097", 18, 2 << 20),
+        ("exact16383", 18, 2 << 20),
+        ("exact16385", 18, 2 << 20),
+        ("exact32767", 18, 2 << 20),
+        ("exact32769", 18, 2 << 20),
+        ("exact40000", 18, 2 << 20),
     ]
     total = 0
     failures = 0

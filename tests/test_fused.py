@@ -182,10 +182,27 @@ def test_encode_device_auto():
 def test_fused_tier_switch_matches_host():
     """The data-adaptive lax.switch ladder: each rung (small explicit caps
     so the interpreter stays fast) must select by n_unique and produce
-    streams byte-identical to the host pipeline."""
+    streams byte-identical to the host pipeline. The ``exact`` cases pin
+    n_unique precisely ON a rung cap and one past it (the switch's
+    decision points; the chip sweep covers the shipping ladder's
+    boundaries the same way — chip_check exactN)."""
     B = 16
-    for seed, nalpha in ((31, 100), (32, 700), (33, 2500)):
-        symbols = _case(seed, 12000, nalpha, zipf=False)
+    cases = (
+        (31, 100, False), (32, 700, False), (33, 2500, False),
+        (34, 256, True), (35, 257, True), (36, 1024, True), (37, 1025, True),
+    )
+    for seed, nalpha, exact in cases:
+        if exact:
+            rng = np.random.default_rng(seed)
+            alpha = rng.choice(MAX_SYMBOLS, nalpha, replace=False)
+            symbols = np.concatenate(
+                [alpha, rng.choice(alpha, 12000 - nalpha)]
+            )
+            rng.shuffle(symbols)
+            symbols = symbols.astype(np.uint16)
+            assert np.unique(symbols).size == nalpha
+        else:
+            symbols = _case(seed, 12000, nalpha, zipf=False)
         npairs = symbols.size
         n_real = (npairs + B - 1) // B
         n_lanes = (n_real + GROUP_LANES - 1) // GROUP_LANES * GROUP_LANES

@@ -117,6 +117,26 @@ def test_gather_u16_pairs_matches_table_all_per_cells():
         np.testing.assert_array_equal(np.asarray(out), want)
 
 
+def test_gather_rank_select_all_per_cells():
+    # The fused encoder's succinct-dictionary gather with the grid-cell
+    # size override (swept on chip at the wide caps; exp_rank_gather.py).
+    rng = np.random.default_rng(12)
+    present = _alphabet(rng, 3000, structured=False)
+    values = rng.integers(0, 1 << 32, MAX_SYMBOLS, dtype=np.uint64).astype(
+        np.uint32
+    )
+    maskw, cums, dense, ok = pg.build_rank_select(values, present, cap=4096)
+    assert ok
+    syms = np.flatnonzero(present)
+    data = rng.choice(syms, size=5000).astype(np.int32)
+    for per_cell in (None, 4, 16):
+        out = pg.gather_rank_select(
+            jnp.asarray(data), jnp.asarray(maskw), jnp.asarray(cums),
+            jnp.asarray(dense), interpret=True, per_cell=per_cell,
+        )
+        np.testing.assert_array_equal(np.asarray(out), values[data])
+
+
 def test_pack_rows_for_granularity():
     from huffman_tpu.ops.pallas_decode import _pack_rows_for
 
