@@ -10,7 +10,7 @@ value / 5.0). The encode lines measure the FUSED all-device pipeline
 reference's research territory is its GPU encoder, so the encode rate is
 the other half of the headline.
 
-Four metric lines (the driver parses the first two as the headline pair):
+Six metric lines (the driver parses the first two as the headline pair):
   1. decode, silesia-like 32 MiB (~3k unique pairs)  / 5.0
   2. encode, silesia-like 32 MiB                      / 2.0
   3. decode, wide 30k-unique-pair zipf 32 MiB         / 5.0  (rank tier +
@@ -18,6 +18,10 @@ Four metric lines (the driver parses the first two as the headline pair):
      regress under tier churn, VERDICT r2 #8)
   4. encode, wide 30k 32 MiB                          / 1.0  (the full-
      alphabet lax.switch tier; VERDICT r2 missing #1 target)
+  5. decode, pexels JPEG tiled to 32 MiB              / 5.0  (REAL bytes,
+     65,289 unique — the full 65,536 rung on non-synthetic data;
+     VERDICT r4 missing #2)
+  6. encode, pexels JPEG tiled to 32 MiB              / 1.0
 
 Method: the Pallas group decoder is timed steady-state on device-resident
 streams by running K iterations inside ONE jit program, chained through a
@@ -51,6 +55,22 @@ def _wide30k(nbytes: int, seed: int = 3) -> np.ndarray:
     from huffman_tpu.utils.benchmark import zipf_pairs
 
     return zipf_pairs(nbytes, 30000, np.random.default_rng(seed))
+
+
+def _pexels_tiled(nbytes: int) -> np.ndarray | None:
+    """The reference's own JPEG (65,289 unique byte pairs — the one real
+    full-alphabet input available offline; the reference encodes+decodes
+    it end to end, /root/reference/Compressor.cu:385) tiled to the bench
+    payload size: the top 65,536 tier on REAL bytes, where the synthetic
+    metrics use zipf draws (VERDICT r4 missing #2)."""
+    import os
+
+    path = "/root/reference/pexels-vlad-alexandru-popa-1402787.jpg"
+    if not os.path.exists(path):  # environment without the reference tree
+        return None
+    raw = np.fromfile(path, dtype=np.uint8)
+    reps = -(-nbytes // raw.size)
+    return np.tile(raw, reps)[:nbytes]
 
 
 def _emit(metric, gbps, denom):
@@ -190,7 +210,10 @@ def bench_pair(data: np.ndarray, tag: str, on_tpu: bool,
 def main() -> None:
     from huffman_tpu.utils.chiplock import guard_chip
 
-    guard_chip()  # serialize on the single chip BEFORE backend init
+    # Serialize on the single chip BEFORE backend init; the runtime bound
+    # tracks the driver's own 1800 s timeout (a hung bench must free the
+    # chip before the next consumer, not wedge it).
+    guard_chip(max_runtime_s=1740)
 
     import jax
 
@@ -214,6 +237,16 @@ def main() -> None:
         f"wide30k_{wide_mb}MB", on_tpu,
         dec_baseline=5.0, enc_baseline=1.0,
     )
+    # Real-data rung: the reference's JPEG tiled to the bench payload —
+    # near-incompressible, full-alphabet (65,289 unique), the only
+    # non-synthetic bytes that exercise the top tier in this offline
+    # environment. Baselines follow the wide-tier bars.
+    pexels = _pexels_tiled(size_mb << 20)
+    if pexels is not None:
+        bench_pair(
+            pexels, f"pexels_jpeg_{size_mb}MB", on_tpu,
+            dec_baseline=5.0, enc_baseline=1.0,
+        )
 
 
 if __name__ == "__main__":

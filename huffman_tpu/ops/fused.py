@@ -13,6 +13,7 @@ for an on-device self-check (the make-test roundtrip, without the host).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -36,6 +37,17 @@ from .pallas_decode import GROUP_LANES, WINDOW_ROWS
 # lengths are cap-invariant past n_unique, so host and device agree.
 DEFAULT_TIERS = ALPHABET_TIERS
 
+# Symbol-gather scheme boundary: tiers with cap >= this use the two-level
+# canonical-rank gather (16-bit canonical ranks, HALF the dense rows +
+# arithmetic coding — pallas_gather.gather_rank_canonical), smaller tiers
+# the packed-code rank-select. MEASURED r5 (16 MiB zipf, K=40,
+# perflogs/r5_rank_canon*.log, packed-default vs canon-best ms):
+# 4096 3.25 vs 3.55 (packed WINS — the ~17 length compares cost more
+# than 16 saved table rows), 16384 4.54 vs 4.35, 32768 6.32 vs 5.17
+# (-18%), 65536 10.19 vs 7.14 (-30%; identity addressing drops the rank
+# stage on top). Boundary 16384; env override for the perf harness.
+CANON_GATHER_MIN_CAP = int(os.environ.get("HTPU_CANON_MIN_CAP", "16384"))
+
 
 def tiered_code_gather(
     hist, n_unique, sym2, *, max_len: int, cap_top: int,
@@ -48,7 +60,9 @@ def tiered_code_gather(
     sym_rank, packed, ok)`` with ``packed = len<<26|code`` per symbol;
     ``ok`` is False only when n_unique exceeds ``cap_top`` (with the
     default full-alphabet top tier it is always True)."""
-    from .pallas_gather import build_rank_select, gather_rank_select
+    from .pallas_gather import (
+        build_rank_select, gather_rank_canonical, gather_rank_select,
+    )
 
     ladder = tuple(t for t in sorted(set(tiers)) if t < cap_top) + (cap_top,)
 
@@ -60,13 +74,52 @@ def tiered_code_gather(
             )
             tabs = device_canonical_tables(lengths)
             enc_codes, enc_lens = tabs[0], tabs[1]
-            enc_packed = (enc_lens.astype(jnp.uint32) << 26) | enc_codes
-            maskw, cums, dense, pack_ok = build_rank_select(
-                enc_packed, lengths > 0, cap=cap
-            )
-            packed = gather_rank_select(
-                sym2, maskw, cums, dense, interpret=interpret
-            )
+            if cap >= CANON_GATHER_MIN_CAP:
+                # Two-level canonical scheme: the dense table holds 16-bit
+                # canonical RANKS (two per word — half the select-tree
+                # rows of the packed-code table), and the kernel derives
+                # len by compares against the class starts and code =
+                # canon - base[len] (mod 2^32) — the decode-side rank
+                # identity reversed. Bit-identical to the packed-code
+                # gather (tests pin both against the host codebook).
+                base, sym_rank = tabs[3], tabs[4]
+                if cap >= MAX_SYMBOLS:
+                    # Full-alphabet tier: every symbol slot has a table
+                    # entry, so the dense table is sym_rank itself packed
+                    # and the kernel addresses it by SYMBOL (identity
+                    # rank) — no succinct rank stage, no build scatter.
+                    sr = sym_rank.astype(jnp.uint32)
+                    canon16 = sr[0::2] | (sr[1::2] << 16)
+                    maskw = jnp.zeros((2048,), jnp.uint32)
+                    cums = jnp.zeros((2048,), jnp.int32)
+                    pack_ok = jnp.bool_(True)
+                else:
+                    maskw, cums, dense, pack_ok = build_rank_select(
+                        sym_rank.astype(jnp.uint32), lengths > 0, cap=cap
+                    )
+                    canon16 = dense[0::2] | (dense[1::2] << 16)
+                ls = jnp.arange(1, MAX_CODE_LEN + 1, dtype=jnp.int32)
+                counts = jnp.sum(
+                    (lengths[None, :] == ls[:, None]).astype(jnp.int32),
+                    axis=1,
+                )
+                start = jnp.concatenate(
+                    [jnp.zeros(2, jnp.int32),
+                     jnp.cumsum(counts)[: MAX_CODE_LEN - 1]]
+                )
+                packed = gather_rank_canonical(
+                    sym2, maskw, cums, canon16, start, base,
+                    max_len=max_len, interpret=interpret,
+                    identity_rank=cap >= MAX_SYMBOLS,
+                )
+            else:
+                enc_packed = (enc_lens.astype(jnp.uint32) << 26) | enc_codes
+                maskw, cums, dense, pack_ok = build_rank_select(
+                    enc_packed, lengths > 0, cap=cap
+                )
+                packed = gather_rank_select(
+                    sym2, maskw, cums, dense, interpret=interpret
+                )
             return (lengths, *tabs[2:], packed, pack_ok)
 
         return run

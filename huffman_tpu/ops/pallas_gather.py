@@ -212,6 +212,25 @@ def gather_table_pallas(
 RANK_WORDS = MAX_SYMBOLS // 32  # 2048 mask words = 16 rows of 128
 
 
+def default_per_cell(rows: int) -> int:
+    """Tiles per grid cell for the dense-table gathers, by table rows.
+
+    Measured (r4c sweep, perflogs/r4c_exp_rank_gather.log, 16 MiB zipf,
+    K>=30): big tables want SMALL cells (the unrolled select tree makes
+    each tile's op count scale with rows, so a 512-row cell at per_cell 64
+    is a huge serial program that starves the pipeline: 11.35 ms vs 10.20
+    at per_cell 32), small tables want big cells (pipeline startup
+    dominates: cap 4096 prefers 128, 3.06 vs 3.09 ms). The decoder's
+    pair-translate sweep agrees at ~120 rows (per_cell 32/64/128/256 =
+    2.50/2.48/2.78/2.64 ms). Per-cap, this replaces the old global 64
+    (VERDICT r4 weak #3)."""
+    if rows <= 32:
+        return 128
+    if rows <= 256:
+        return 64
+    return 32
+
+
 def build_rank_select(values, present, cap: int = 8192):
     """(maskwords (2048,) uint32, cums (2048,) int32, dense (cap,) uint32,
     ok). Works on jnp arrays (inside jit, device) and numpy arrays alike.
@@ -286,7 +305,7 @@ def gather_rank_select(
     n = flat.shape[0]
     tile = SUBLANES * LANES
     if per_cell is None:
-        per_cell = 8 if interpret else 64
+        per_cell = 8 if interpret else default_per_cell(dense.shape[0] // LANES)
     chunk = tile * per_cell
     pad = (-n) % chunk
     if pad:
@@ -317,6 +336,189 @@ def gather_rank_select(
         ),
         interpret=interpret,
     )(mask2, cum2, dense2, grid_sym)
+    flat_out = jax.lax.bitcast_convert_type(out, jnp.uint32).reshape(-1)
+    return flat_out[:n].reshape(shape)
+
+
+# ---------------------------------------------------------------------------
+# Canonical-rank gather: the two-level wide-alphabet encode structure.
+#
+# gather_rank_select stores the full 32-bit ``len<<26|code`` per present
+# symbol, so its dense table is cap/128 rows and the unrolled select tree
+# is LINEAR in rows — 512 leaf gathers at cap 65536 (the measured
+# full-alphabet encode wall, VERDICT r4 missing #3). But canonical codes
+# are ARITHMETIC in the canonical rank: with ``base[l] = start[l] -
+# first[l]`` (the decode table, device_codebook.py — decode computes
+# ``rank = base[len] + peek >> (32-len)``; this is that identity run
+# backwards), ``code = canon_rank - base[len] (mod 2^32)`` and ``len`` is
+# a step function of canon_rank (canon order sorts by length first). So
+# the dense payload only needs the 16-BIT canonical rank — two per word,
+# HALF the rows (256 at cap 65536) — plus max_len-1 compares against
+# scalar class boundaries and one 33-entry row gather. Net ops per tile at
+# cap 65536: ~(16+16+256+~20) vs ~(16+16+512); measured r5:
+# 10.20 -> 5.74 ms / 16 MiB (and 6.37 -> 3.86 at cap 32768).
+# ---------------------------------------------------------------------------
+
+
+def _rank_canon_kernel(
+    start_ref,   # scalar-prefetch (MAX_CODE_LEN+1,) i32: #codes len < l
+    mask_ref,    # VMEM (16, 128) i32 presence mask words
+    cum_ref,     # VMEM (16, 128) i32 exclusive word counts
+    canon_ref,   # VMEM (cap/256, 128) i32 packed-16 canonical ranks
+    base_ref,    # VMEM (1, 128) i32 (u32 bits): start[l] - first[l]
+    sym_ref,     # VMEM (n_tiles, 8, 128) i32 symbols
+    out_ref,     # VMEM (n_tiles, 8, 128) i32 packed len<<26|code
+    *,
+    n_tiles: int,
+    max_len: int,
+    identity_rank: bool,
+):
+    cap2 = canon_ref.shape[0] * LANES
+    shape = (SUBLANES, LANES)
+    base_row = jnp.broadcast_to(base_ref[0:1, :], shape)
+    for t in range(n_tiles):
+        sym = sym_ref[t]
+        if identity_rank:
+            # Full-alphabet tier: the dense table covers EVERY symbol
+            # slot (canon16 is sym_rank itself, packed), so the succinct
+            # rank stage (32 row gathers + popcount) vanishes.
+            rank = sym
+        else:
+            w = (sym >> 5) & (RANK_WORDS - 1)
+            b = sym & 31
+            mw = _lane_gather_i32(mask_ref[:], w)
+            cm = _lane_gather_i32(cum_ref[:], w)
+            below = pltpu.bitcast(
+                (jnp.uint32(1) << b.astype(jnp.uint32)) - jnp.uint32(1),
+                jnp.int32,
+            )
+            rank = cm + jax.lax.population_count(mw & below)
+        pair = _lane_gather_i32(
+            canon_ref[:], jnp.clip(rank >> 1, 0, cap2 - 1)
+        )
+        canon = pltpu.bitcast(
+            (pltpu.bitcast(pair, jnp.uint32) >> ((rank & 1) << 4).astype(
+                jnp.uint32
+            )) & jnp.uint32(0xFFFF),
+            jnp.int32,
+        )
+        # Canonical length: canon_rank lands in [start[len], start[len+1]).
+        # start is non-decreasing, so len = 1 + #boundaries <= canon_rank —
+        # the decode kernel's length search, on ranks instead of peek bits.
+        # Tree-sum keeps the dependency depth logarithmic.
+        terms = [
+            (canon >= start_ref[l]).astype(jnp.int32)
+            for l in range(2, max_len + 1)
+        ]
+        terms.append(jnp.full(shape, 1, jnp.int32))
+        while len(terms) > 1:
+            terms = [
+                terms[k] + terms[k + 1] if k + 1 < len(terms) else terms[k]
+                for k in range(0, len(terms), 2)
+            ]
+        length = terms[0]
+        base_v = jnp.take_along_axis(base_row, length, axis=1)
+        code = pltpu.bitcast(
+            pltpu.bitcast(canon, jnp.uint32) - pltpu.bitcast(base_v, jnp.uint32),
+            jnp.int32,
+        )
+        out_ref[t] = (length << 26) | code
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_len", "interpret", "per_cell", "identity_rank"),
+)
+def gather_rank_canonical(
+    symbols: jax.Array,    # any shape, int32 values in [0, 65536)
+    maskwords: jax.Array,  # (2048,) uint32
+    cums: jax.Array,       # (2048,) int32
+    canon16: jax.Array,    # (cap/2,) uint32 packed-16 canonical ranks
+    start: jax.Array,      # (MAX_CODE_LEN+1,) int32: #codes with len < l
+    base: jax.Array,       # (MAX_CODE_LEN+1,) uint32 decode base table
+    max_len: int,
+    interpret: bool = False,
+    per_cell: int | None = None,
+    identity_rank: bool = False,
+) -> jax.Array:
+    """``len<<26|code`` per symbol via rank -> canonical-rank -> arithmetic
+    canonical coding; returns uint32 in symbols' shape. Same contract as
+    gather_rank_select over a packed-code table (bit-identical output,
+    pinned by tests), at half the dense rows. Valid only for symbols
+    present in the build (absent symbols alias arbitrary entries; callers
+    mask on validity downstream, as with every gather here).
+
+    ``identity_rank=True`` (full-alphabet tier): canon16 must be the
+    sym_rank table itself packed two-per-word over ALL 65,536 slots; the
+    succinct rank stage is skipped entirely (maskwords/cums unread)."""
+    shape = symbols.shape
+    flat = symbols.reshape(-1).astype(jnp.int32)
+    n = flat.shape[0]
+    tile = SUBLANES * LANES
+    rows = canon16.shape[0] // LANES
+    if identity_rank and rows != MAX_SYMBOLS // 2 // LANES:
+        raise ValueError("identity_rank requires a full 65,536-slot table")
+    if per_cell is None:
+        # Canon-specific sweep (perflogs/r5_rank_canon*.log, 16 MiB,
+        # K=40): 64-row tables want BIG cells (cap 16384: per_cell
+        # 256/128 = 4.350/4.356 ms vs 4.429 at 16), 128+-row tables want
+        # 32 (cap 32768: 5.174 at 32 vs 5.271 at 64; cap 65536: 7.137 at
+        # 32 vs 7.267 at 64) — the packed mapping's trend, shifted by the
+        # canon kernel's fixed per-tile compare cost.
+        per_cell = 8 if interpret else (128 if rows <= 64 else 32)
+    chunk = tile * per_cell
+    pad = (-n) % chunk
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros(pad, jnp.int32)])
+    cells = flat.shape[0] // chunk
+    grid_sym = flat.reshape(cells * per_cell, SUBLANES, LANES)
+
+    mask2 = jax.lax.bitcast_convert_type(maskwords, jnp.int32).reshape(
+        RANK_WORDS // LANES, LANES
+    )
+    cum2 = cums.astype(jnp.int32).reshape(RANK_WORDS // LANES, LANES)
+    canon2 = jax.lax.bitcast_convert_type(
+        canon16.astype(jnp.uint32), jnp.int32
+    ).reshape(rows, LANES)
+    base_pad = jnp.zeros((LANES,), jnp.uint32).at[: base.shape[0]].set(base)
+    base2 = jax.lax.bitcast_convert_type(base_pad, jnp.int32).reshape(1, LANES)
+
+    kernel = functools.partial(
+        _rank_canon_kernel, n_tiles=per_cell, max_len=max_len,
+        identity_rank=identity_rank,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(cells,),
+        in_specs=[
+            pl.BlockSpec(
+                (RANK_WORDS // LANES, LANES), lambda g, *_: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (RANK_WORDS // LANES, LANES), lambda g, *_: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((rows, LANES), lambda g, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda g, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((per_cell, SUBLANES, LANES), lambda g, *_: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (per_cell, SUBLANES, LANES), lambda g, *_: (g, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (cells * per_cell, SUBLANES, LANES), jnp.int32
+        ),
+        interpret=interpret,
+    )(start.astype(jnp.int32), mask2, cum2, canon2, base2, grid_sym)
     flat_out = jax.lax.bitcast_convert_type(out, jnp.uint32).reshape(-1)
     return flat_out[:n].reshape(shape)
 
@@ -428,7 +630,9 @@ def gather_u16_pairs_pallas(
     n = flat.shape[0]
     tile = SUBLANES * LANES
     if per_cell is None:
-        per_cell = 8 if interpret else 64
+        per_cell = (
+            8 if interpret else default_per_cell(packed16.shape[0] // LANES)
+        )
     chunk = tile * per_cell
     pad = (-n) % chunk
     if pad:

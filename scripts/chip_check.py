@@ -36,7 +36,10 @@ import numpy as np
 def main() -> int:
     from huffman_tpu.utils.chiplock import guard_chip
 
-    guard_chip()  # exclusive chip use (see utils/chiplock.py)
+    # The full --sweep grid compiles dozens of Mosaic shapes; give it a
+    # wider hard bound than the 1500 s script default (still bounded —
+    # VERDICT r4 weak #1).
+    guard_chip(max_runtime_s=3000)
 
     import jax
 

@@ -9,7 +9,14 @@ the remaining knobs:
   2. gather_u16_pairs_pallas standalone: per_cell x table-rows sweep
   3. full path at the best combination
 
-Usage: python scripts/exp_wide_decode.py [size_mb] [alphabet] [iters]
+Usage: python scripts/exp_wide_decode.py [size_mb] [alphabet] [iters] [B]
+
+``B`` (block symbols, default 512) probes the r5 small-payload
+steady-state question (VERDICT r4 #3): the kernel grid is one cell per
+``multi`` groups and ngroups = n_pairs / (B * 1024), so at 16 MiB / B=512
+only 4 cells exist and the kernel never pipelines against the translate
+pass. Halving B doubles the cells at ~2 % container-size cost (one 8 KiB
+preload region per extra group).
 """
 
 import pathlib
@@ -40,7 +47,7 @@ def main():
     size_mb = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     alphabet_size = int(sys.argv[2]) if len(sys.argv) > 2 else 30000
     iters = int(sys.argv[3]) if len(sys.argv) > 3 else 80
-    B = 512
+    B = int(sys.argv[4]) if len(sys.argv) > 4 else 512
 
     rng = np.random.default_rng(7)
     alphabet = rng.choice(MAX_SYMBOLS, size=alphabet_size, replace=False)
@@ -54,7 +61,10 @@ def main():
     ngroups = n_lanes // pd.GROUP_LANES
 
     t0 = time.perf_counter()
-    cache = pathlib.Path(f"/tmp/perf_decode_{size_mb}_{alphabet_size}.npz")
+    cache = pathlib.Path(
+        f"/tmp/perf_decode_{size_mb}_{alphabet_size}"
+        + (f"_B{B}" if B != 512 else "") + ".npz"
+    )
     cb = Codebook.from_frequencies(np.bincount(symbols, minlength=MAX_SYMBOLS))
     min_len = int(cb.lengths[cb.lengths > 0].min())
     if cache.exists():

@@ -137,6 +137,78 @@ def test_gather_rank_select_all_per_cells():
         np.testing.assert_array_equal(np.asarray(out), values[data])
 
 
+@pytest.mark.parametrize(
+    "seed,n_unique,cap,max_len",
+    [(0, 300, 4096, 18), (1, 3000, 4096, 18), (2, 9000, 16384, 18),
+     (3, 60, 4096, 12)],
+)
+def test_gather_rank_canonical_matches_packed(seed, n_unique, cap, max_len):
+    # The r5 two-level wide-encode scheme: canonical-rank dense table +
+    # arithmetic coding must be BIT-IDENTICAL to the packed-code
+    # rank-select over a real codebook (it replaces it in the fused
+    # encoder's wide tiers).
+    from huffman_tpu.constants import MAX_CODE_LEN
+    from huffman_tpu.ops.device_codebook import (
+        device_canonical_tables, device_code_lengths,
+    )
+
+    rng = np.random.default_rng(seed)
+    alpha = rng.choice(MAX_SYMBOLS, n_unique, replace=False)
+    p = 1.0 / np.arange(1, n_unique + 1) ** 0.8
+    syms = rng.choice(alpha, 20000, p=p / p.sum()).astype(np.int32)
+    hist = np.bincount(syms, minlength=MAX_SYMBOLS).astype(np.int32)
+    lengths = device_code_lengths(
+        jnp.asarray(hist), max_len=max_len, alphabet_cap=cap, use_kernel=False
+    )
+    enc_codes, enc_lens, _lj, base, sym_rank = device_canonical_tables(lengths)
+    enc_packed = (enc_lens.astype(jnp.uint32) << 26) | enc_codes
+
+    mw, cm, dn, ok = pg.build_rank_select(enc_packed, lengths > 0, cap=cap)
+    want = pg.gather_rank_select(
+        jnp.asarray(syms[:4096]), mw, cm, dn, interpret=True
+    )
+    mw2, cm2, dn2, ok2 = pg.build_rank_select(
+        sym_rank.astype(jnp.uint32), lengths > 0, cap=cap
+    )
+    assert bool(ok) and bool(ok2)
+    canon16 = dn2[0::2] | (dn2[1::2] << 16)
+    ls = jnp.arange(1, MAX_CODE_LEN + 1, dtype=jnp.int32)
+    counts = jnp.sum((lengths[None, :] == ls[:, None]).astype(jnp.int32),
+                     axis=1)
+    start = jnp.concatenate(
+        [jnp.zeros(2, jnp.int32), jnp.cumsum(counts)[: MAX_CODE_LEN - 1]]
+    )
+    for per_cell in (None, 4):
+        got = pg.gather_rank_canonical(
+            jnp.asarray(syms[:4096]), mw2, cm2, canon16, start, base,
+            max_len=max_len, interpret=True, per_cell=per_cell,
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # And against the host ground truth, not just the sibling kernel.
+    np.testing.assert_array_equal(
+        np.asarray(want), np.asarray(enc_packed)[syms[:4096]]
+    )
+    # Full-alphabet identity addressing: table = sym_rank itself, no
+    # succinct rank stage (the fused top tier's configuration).
+    sr = sym_rank.astype(jnp.uint32)
+    canon16_id = sr[0::2] | (sr[1::2] << 16)
+    got_id = pg.gather_rank_canonical(
+        jnp.asarray(syms[:4096]), mw2, cm2, canon16_id, start, base,
+        max_len=max_len, interpret=True, identity_rank=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got_id), np.asarray(want))
+
+
+def test_default_per_cell_tracks_sweep():
+    # Measured mapping (perflogs/r4c_exp_rank_gather.log): big tables want
+    # small cells, small tables big cells.
+    assert pg.default_per_cell(16) == 128    # cap 4096 canon
+    assert pg.default_per_cell(32) == 128    # cap 4096 packed
+    assert pg.default_per_cell(128) == 64    # cap 16384 packed
+    assert pg.default_per_cell(256) == 64    # cap 32768 packed
+    assert pg.default_per_cell(512) == 32    # cap 65536 packed
+
+
 def test_pack_rows_for_granularity():
     from huffman_tpu.ops.pallas_decode import _pack_rows_for
 
