@@ -141,6 +141,7 @@ def canon_sweep(size_mb, n_unique, cap, symbols, scheme_filter=None):
     for scheme, per_cells in schemes:
         if scheme_filter is not None and scheme not in scheme_filter:
             continue
+        timings = {}
         for per_cell in per_cells:
             if scheme == "packed":
                 fn = functools.partial(
@@ -165,6 +166,7 @@ def canon_sweep(size_mb, n_unique, cap, symbols, scheme_filter=None):
                 got = np.asarray(fn(sym_dev))
                 assert np.array_equal(got, want), f"{name} WRONG"
                 sec = amortized_time_fn(fn, sym_dev, iters=40)
+                timings[per_cell] = sec
                 gbps = symbols.size * 2 / sec / 1e9
                 print(f"{name}: {sec * 1e3:7.3f} ms  {gbps:6.2f} GB/s",
                       flush=True)
@@ -172,6 +174,16 @@ def canon_sweep(size_mb, n_unique, cap, symbols, scheme_filter=None):
                 print(f"{name}: FAIL {type(e).__name__}: "
                       f"{str(e).splitlines()[0][:90]}", flush=True)
                 traceback.print_exc(limit=2, file=sys.stderr)
+        # Tuned-default audit (VERDICT r4 #6): the shipping default
+        # (per_cell=None) must sit within noise of this sweep's best —
+        # a drifted default prints loudly instead of silently shipping.
+        if None in timings and len(timings) > 1:
+            best_pc = min(timings, key=timings.get)
+            d, b = timings[None], timings[best_pc]
+            verdict = "OK" if d <= b * 1.05 else "STALE"
+            print(f"cap={cap:5d} {scheme:6s} DEFAULT_{verdict}: default "
+                  f"{d*1e3:.3f} ms vs best {b*1e3:.3f} (per_cell="
+                  f"{best_pc})", flush=True)
 
 
 if __name__ == "__main__":

@@ -48,6 +48,8 @@ def main():
     want = np.bincount(symbols, minlength=MAX_SYMBOLS).astype(np.int32)
     sym_dev = jax.device_put(jnp.asarray(symbols))
 
+    timings = {}
+
     def rec(name, fn, iters=40):
         try:
             got = np.asarray(fn(sym_dev)).reshape(-1)
@@ -58,6 +60,7 @@ def main():
                   f"{str(e).splitlines()[0][:90]}", flush=True)
             traceback.print_exc(limit=2, file=sys.stderr)
             return
+        timings[name] = sec
         print(f"{name:40s} {sec*1e3:8.3f} ms   "
               f"{n*2/sec/1e9:6.2f} GB/s", flush=True)
 
@@ -67,6 +70,15 @@ def main():
             rec(f"C={cell} cmp={cmp_dtype}",
                 functools.partial(histogram_pallas, cell=cell,
                                   cmp_dtype=cmp_dtype))
+    rec("default", histogram_pallas)
+    # Tuned-default audit (VERDICT r4 #6): the shipping default must sit
+    # within noise of the sweep's best surviving variant.
+    if "default" in timings and len(timings) > 1:
+        best = min((k for k in timings if k != "default"), key=timings.get)
+        d, b = timings["default"], timings[best]
+        verdict = "OK" if d <= b * 1.05 else "STALE"
+        print(f"DEFAULT_{verdict}: default {d*1e3:.3f} ms vs best "
+              f"{b*1e3:.3f} ({best})", flush=True)
 
 
 if __name__ == "__main__":
