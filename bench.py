@@ -35,9 +35,18 @@ Prints one JSON line per metric, each {"metric", "value", "unit",
 """
 
 import json
+import os
 import sys
 
 import numpy as np
+
+# Persistent compile cache ON by default for the bench: a cold 6-metric
+# run is ~28 min of mostly Mosaic/XLA compilation on this tunneled
+# backend — within ~90 s of the driver's 1800 s budget (round 4 lost its
+# official record to exactly this class of timeout). With the cache
+# warm (any prior bench/chip_check run this round) the same run is
+# minutes. Explicitly setting HTPU_COMPILE_CACHE (even to "") overrides.
+os.environ.setdefault("HTPU_COMPILE_CACHE", "/root/repo/.jit_cache")
 
 
 def _timed_repeat(fn, arg, iters: int):
