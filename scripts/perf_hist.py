@@ -64,9 +64,21 @@ def main():
         print(f"{name:40s} {sec*1e3:8.3f} ms   "
               f"{n*2/sec/1e9:6.2f} GB/s", flush=True)
 
-    for cell in (4096, 8192, 16384):
-        for cmp_dtype in ("int32", "int16", "int8",
-                          "int16_arith", "int8_arith"):
+    # argv[2]: comma-separated cell list; argv[3]: cmp dtypes. Defaults
+    # keep the historical grid; the r5 probe extends cells upward
+    # (32768/65536, int32 only — per-symbol compare count is C-invariant,
+    # wider cells only amortize grid overhead, r4b trend 5.16/5.01/4.89).
+    cells = (
+        tuple(int(x) for x in sys.argv[2].split(","))
+        if len(sys.argv) > 2 else (4096, 8192, 16384)
+    )
+    dtypes = (
+        tuple(sys.argv[3].split(","))
+        if len(sys.argv) > 3
+        else ("int32", "int16", "int8", "int16_arith", "int8_arith")
+    )
+    for cell in cells:
+        for cmp_dtype in dtypes:
             rec(f"C={cell} cmp={cmp_dtype}",
                 functools.partial(histogram_pallas, cell=cell,
                                   cmp_dtype=cmp_dtype))
