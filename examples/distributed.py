@@ -10,6 +10,7 @@ ICI within a slice and DCN across hosts (see scripts/multihost_sim.py for
 a runnable two-process simulation).
 """
 
+import os
 import sys
 from pathlib import Path
 
@@ -17,6 +18,17 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 import jax
+
+# Some TPU plugins force-set the platform at interpreter start, so the
+# documented JAX_PLATFORMS=cpu env alone silently loses the virtual mesh
+# (you get the 1 real chip). Pin the CPU backend in-process whenever the
+# virtual-device flag is present, before any backend initializes.
+if "xla_force_host_platform_device_count" in os.environ.get("XLA_FLAGS", ""):
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
 import jax.numpy as jnp
 
 from huffman_tpu.codebook import Codebook

@@ -26,11 +26,16 @@ previously never chip-checked). Set HTPU_COMPILE_CACHE to amortize the
 per-shape Mosaic compiles across invocations.
 """
 
+import os
 import sys
 
 sys.path.insert(0, ".")
 
 import numpy as np
+
+# Persistent compile cache by default (same rationale as bench.py: the
+# sweep is dominated by Mosaic compiles; warm it is minutes).
+os.environ.setdefault("HTPU_COMPILE_CACHE", "/root/repo/.jit_cache")
 
 
 def main() -> int:
