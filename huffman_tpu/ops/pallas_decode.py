@@ -65,19 +65,21 @@ assert GROUP_LANES == _constants.GROUP_LANES, (
     "constants.GROUP_LANES must track the kernel group size"
 )
 assert WINDOW_ROWS == SUBLANES + 1  # max refill slot is 127 + GROUP_LANES
-# In-kernel rank->symbol translation limit (16 packed table rows; larger
+# In-kernel rank->symbol translation limit (4 packed table rows; larger
 # alphabets emit ranks and the caller translates in-jit with the packed
 # PAIR-gather kernel, which pipelines as its own grid instead of riding
-# the serial decode chain). MEASURED r4b (32 MiB zipf, K=80,
-# rank(multi=4) vs in-kernel(multi=3)): 3k 12.40 vs 12.13, 6k 11.22 vs
-# 7.57, 12k 8.92 vs 5.27 GB/s — the old 16,384 boundary was tuned before
-# the pair-pass existed and is dominated everywhere above ~4k. 4096
-# keeps tiny/text alphabets (1-16 table rows, where the on-chain gather
-# is near-free and the pass would add its ~2 x payload DMA floor) on the
-# single-kernel path; the env override exists for the perf harness to
-# re-probe the boundary.
+# the serial decode chain). MEASURED r5 (32 MiB zipf, K=80,
+# in-kernel(multi=3) vs rank(multi=4), scripts/exp_rank_boundary.py +
+# perflogs/r5_rank_boundary_*.log): A=300 12.96 vs 11.80, 1000 13.20 vs
+# 11.58, 2000 11.86 vs 12.12, 3000 11.54 vs 12.34, silesia ~4k 10.68 vs
+# 12.08 GB/s — the r4b 4096 boundary rested on an UNMEASURED "tiny
+# tables are near-free on-chain" theory that the silesia A/B falsified
+# (+13% headline decode from moving it). The crossover sits between 4
+# and 8 symtab rows; 1024 keeps genuinely tiny alphabets (bytes-like
+# corpora, <= 4 rows) on the single-kernel path. Env override for the
+# perf harness to re-probe.
 GATHER_MAX_ALPHABET = int(
-    os.environ.get("HTPU_GATHER_MAX_ALPHABET", "4096")
+    os.environ.get("HTPU_GATHER_MAX_ALPHABET", "1024")
 )
 DEFAULT_MULTI = 3               # independent groups interleaved per kernel
                                 # instance: the per-chain step is a serial

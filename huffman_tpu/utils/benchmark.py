@@ -39,10 +39,11 @@ def silesia_like(n_bytes: int, seed: int = 0) -> np.ndarray:
     The noise section draws from a 1,024-pair subset (10 bits/pair entropy
     against the 16-bit raw coding — weakly compressible, like the binary
     sections of real corpora) rather than all 65,536 pairs, keeping the
-    corpus alphabet around ~4,000 symbols: inside the decoder's in-kernel
-    translation tier (16 packed table rows; GATHER_MAX_ALPHABET = 4096 as
-    of r4b) so the headline benchmark measures the COMPLETE decode
-    including rank->symbol translation."""
+    corpus alphabet around ~4,000 symbols. Since r5 that places the
+    headline in the RANK tier (GATHER_MAX_ALPHABET = 1024 — the in-kernel
+    symtab gather measured slower than the separate pair-translate pass
+    from ~8 table rows up), so the benchmark measures the COMPLETE decode
+    including the in-jit packed rank->symbol translation pass."""
     rng = np.random.default_rng(seed)
     n_text = int(n_bytes * 0.8)
     # Zipf over ~3000 byte-pair values drawn from printable-ASCII pairs.

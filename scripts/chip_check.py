@@ -218,10 +218,12 @@ def sweep(n_seeds: int = 3) -> int:
         ("text600", 18, 97 << 10),    # odd tail, tiny input, 1 group
         # Tier-ladder SWITCH BOUNDARIES (VERDICT r3 #6): one config on
         # each side of every ALPHABET_TIERS rung edge, so the lax.switch
-        # rung choice and the decode in-kernel/rank split (both at 4096)
+        # rung choice and the decode in-kernel/rank split (1024 since r5)
         # are exercised exactly at their decision points; exact40000
         # lands the sweep itself on the top 65536 rung (the core check's
         # 57k corpus also does, with a fixed seed).
+        ("exact1023", 18, 2 << 20),  # decode in-kernel/rank boundary (r5:
+        ("exact1025", 18, 2 << 20),  # GATHER_MAX_ALPHABET moved to 1024)
         ("exact4095", 18, 2 << 20),
         ("exact4097", 18, 2 << 20),
         ("exact16383", 18, 2 << 20),
@@ -325,10 +327,17 @@ def sweep(n_seeds: int = 3) -> int:
         jnp.asarray((cb.base & 0xFFFFFFFF).astype(np.uint32)),
         jnp.asarray(symtab), jnp.asarray(meta),
     )
+    # Rank-tier alphabets (translate=False — silesia4k is one since the
+    # r5 boundary moved to 1024) translate in-program via sym_order_dev;
+    # without it the kernel's contract is to return raw ranks.
+    so_dev = (
+        None if translate else jnp.asarray(cb.sym_order.astype(np.int32))
+    )
     for multi in (1, 2, 3):
         out = np.asarray(pd.decode_groups(
             *args, B, rows_per, sym_rows, max_len=max(cb.max_len, 1),
             translate=translate, min_len=min_len, multi=multi,
+            sym_order_dev=so_dev,
         ))
         dec = out.reshape(ngroups, B, 8, 128).transpose(0, 2, 3, 1).reshape(-1)[:n_pairs]
         total += 1

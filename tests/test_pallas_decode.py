@@ -154,13 +154,13 @@ def test_packed_out_rank_mode_requires_sym_order():
 
 def test_kernel_in_kernel_tier_boundary():
     """The in-kernel packed symbol table serves alphabets up to
-    GATHER_MAX_ALPHABET (4096 as of r4b: above it, rank mode + the
-    pipelined pair-gather pass measures faster at every probed width —
-    RESULTS round-4b); rows are exact (ceil(n_pack/128)), not
-    pow2-padded."""
+    GATHER_MAX_ALPHABET (1024 as of r5: above it, rank mode + the
+    pipelined pair-gather pass measures faster from ~8 table rows up —
+    RESULTS round-5, perflogs/r5_rank_boundary_*.log); rows are exact
+    (ceil(n_pack/128)), not pow2-padded."""
     B = 32
-    symbols, n_pairs, cb, streams, _ = _setup(8, 1024, B, 3900, skew=False)
-    assert 2048 < cb.n_unique <= 4096
+    symbols, n_pairs, cb, streams, _ = _setup(8, 1024, B, 900, skew=False)
+    assert 512 < cb.n_unique <= 1024
     symtab, sym_rows, tr = pd.build_symtab(cb.sym_order)
     assert tr and sym_rows == -(-((cb.n_unique + 1) // 2) // 128)
     out, ngroups = _run_kernel(cb, streams, 1024, B, translate=True)
@@ -170,8 +170,9 @@ def test_kernel_in_kernel_tier_boundary():
 
 def test_kernel_mid_alphabet_takes_rank_tier():
     """8K-16K alphabets now resolve to the rank tier (build_symtab
-    returns translate=False past 4096) and decode bit-exact through the
-    packed pair-translate pass inside one program."""
+    returns translate=False past GATHER_MAX_ALPHABET) and decode
+    bit-exact through the packed pair-translate pass inside one
+    program."""
     B = 32
     symbols, n_pairs, cb, streams, _ = _setup(8, 1024, B, 12000, skew=False)
     assert cb.n_unique > 8192
