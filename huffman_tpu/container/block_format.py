@@ -858,7 +858,7 @@ def _decode_v2(c: ParsedContainer, backend) -> np.ndarray:
     # pad on the host: decode_groups would otherwise copy the whole
     # device-resident payload inside jit just to append empty groups.
     symtab, sym_rows, translate = build_symtab(cb.sym_order)
-    multi = pd.default_multi(bool(translate))
+    multi = pd.default_multi(bool(translate), int(cb.sym_order.size))
     ngroups_p = -(-c.ngroups // multi) * multi
     if ngroups_p != c.ngroups:
         stacked = np.vstack(

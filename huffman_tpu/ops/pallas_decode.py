@@ -92,11 +92,26 @@ DEFAULT_MULTI_RANK = 4          # rank mode drops the in-kernel symtab
                                 # it hides one more chain (measured r4,
                                 # 16 MiB/30k zipf: multi 2/3/4/5/6 =
                                 # 4.20/4.25/4.72/4.13/4.45 GB/s)
+DEFAULT_MULTI_RANK_SMALL = 5    # small-alphabet rank decode (the r5
+                                # headline path) hides one chain more
+                                # still: 32 MiB silesia multi 3/4/5/6 =
+                                # 11.46/12.33/12.84/11.88 GB/s, while
+                                # 30k keeps 4 (5.41/5.69/5.30/5.24) —
+                                # perflogs/r5_multi32_*.log
 
 
-def default_multi(translate: bool) -> int:
-    """The shipping chain-interleave width for a decode mode."""
-    return DEFAULT_MULTI if translate else DEFAULT_MULTI_RANK
+def default_multi(translate: bool, n_symbols: int | None = None) -> int:
+    """The shipping chain-interleave width for a decode mode.
+
+    ``n_symbols`` (the rank-tier alphabet size, when known) selects
+    between the small-alphabet and wide rank widths; the boundary sits
+    at 4096 (<= 16 pass-table rows — measured at ~4k and 30k, untested
+    between; the in-between tiers inherit the conservative 4)."""
+    if translate:
+        return DEFAULT_MULTI
+    if n_symbols is not None and n_symbols <= 4096:
+        return DEFAULT_MULTI_RANK_SMALL
+    return DEFAULT_MULTI_RANK
 
 # Perf-ablation knobs (scripts/perf_decode.py): comma-separated names in
 # HTPU_ABLATE disable kernel pieces AT TRACE TIME to attribute step cost.
@@ -439,7 +454,11 @@ def decode_groups(
     # Pad the group count to a multiple of `multi` with empty groups
     # (n_real = 0 lanes never consume stream words).
     if multi is None:
-        multi = default_multi(translate)
+        multi = default_multi(
+            translate,
+            None if translate or sym_order_dev is None
+            else int(sym_order_dev.shape[0]),
+        )
     multi = max(1, min(multi, max(ngroups, 1)))
     pad_g = (-ngroups) % multi
     if pad_g:

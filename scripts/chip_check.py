@@ -333,7 +333,7 @@ def sweep(n_seeds: int = 3) -> int:
     so_dev = (
         None if translate else jnp.asarray(cb.sym_order.astype(np.int32))
     )
-    for multi in (1, 2, 3):
+    for multi in (1, 2, 3, 5):
         out = np.asarray(pd.decode_groups(
             *args, B, rows_per, sym_rows, max_len=max(cb.max_len, 1),
             translate=translate, min_len=min_len, multi=multi,
