@@ -81,12 +81,18 @@ assert WINDOW_ROWS == SUBLANES + 1  # max refill slot is 127 + GROUP_LANES
 GATHER_MAX_ALPHABET = int(
     os.environ.get("HTPU_GATHER_MAX_ALPHABET", "1024")
 )
-DEFAULT_MULTI = 3               # independent groups interleaved per kernel
+DEFAULT_MULTI = 4               # independent groups interleaved per kernel
                                 # instance: the per-chain step is a serial
-                                # dependency chain, so extra chains fill the
-                                # VPU's latency bubbles (measured r2 on 33
-                                # groups/32 MiB: multi 2/3/4 = 9.6/10.8/9.2
-                                # GB/s — 3 wins; 4 pays VMEM + pad waste)
+                                # dependency chain, so extra chains fill
+                                # the VPU's latency bubbles. The r2 tuning
+                                # (multi 2/3/4 = 9.6/10.8/9.2 — 3 won) was
+                                # taken on a 16-ROW symtab; since the r5
+                                # boundary move translate mode only serves
+                                # <= 4-row symtabs, where the shorter
+                                # chain hides one more chain (r5, 32 MiB:
+                                # text300 m3/4/5/6 = 12.41/15.47/14.32/
+                                # 11.92; text1k 13.80/14.57/11.47/10.38 —
+                                # perflogs/r5_multi32_text*.log)
 DEFAULT_MULTI_RANK = 4          # rank mode drops the in-kernel symtab
                                 # gather, shortening the serial chain —
                                 # it hides one more chain (measured r4,

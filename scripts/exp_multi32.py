@@ -44,6 +44,24 @@ def main():
     rng = np.random.default_rng(7)
     if corpus == "silesia":
         data = silesia_like(size_mb << 20, seed=7)
+    elif corpus == "text1k":
+        # translate-mode territory (<= 1024 unique): DEFAULT_MULTI=3 was
+        # tuned in r2 before exact-row symtabs and the r5 boundary move.
+        a = np.random.default_rng(5).choice(65536, 900, replace=False)
+        pz = 1.0 / np.arange(1, 901) ** 1.1
+        pz /= pz.sum()
+        data = np.random.default_rng(5).choice(
+            a, (size_mb << 20) // 2, p=pz
+        ).astype("<u2").view(np.uint8)
+    elif corpus == "text300":
+        a = np.random.default_rng(6).choice(65536, 300, replace=False)
+        pz = 1.0 / np.arange(1, 301) ** 1.2
+        pz /= pz.sum()
+        data = np.random.default_rng(6).choice(
+            a, (size_mb << 20) // 2, p=pz
+        ).astype("<u2").view(np.uint8)
+    elif corpus == "wide60k":
+        data = zipf_pairs(size_mb << 20, 60000, np.random.default_rng(3))
     else:
         data = zipf_pairs(size_mb << 20, 30000, np.random.default_rng(3))
     symbols = data[: data.size & ~1].view("<u2").astype(np.int32)
@@ -75,14 +93,15 @@ def main():
     meta = np.zeros((ngroups, 4), dtype=np.int32)
     for g in range(ngroups):
         meta[g, 0] = max(0, min(pd.GROUP_LANES, n_real - g * pd.GROUP_LANES))
+    symtab, sym_rows, translate = pd.build_symtab(cb.sym_order)
     args = (
         jnp.asarray(stacked),
         jnp.asarray(cb.lj_limit),
         jnp.asarray((cb.base & 0xFFFFFFFF).astype(np.uint32)),
-        jnp.asarray(np.zeros(pd.LANES, np.int32)),
+        jnp.asarray(symtab),
         jnp.asarray(meta),
     )
-    so_d = jnp.asarray(cb.sym_order.astype(np.int32))
+    so_d = None if translate else jnp.asarray(cb.sym_order.astype(np.int32))
 
     from huffman_tpu.ops import pallas_gather as pg
     orig_pairs = pg.gather_u16_pairs_pallas
@@ -99,9 +118,10 @@ def main():
 
         def fn(s):
             return pd.decode_groups(
-                s, *args[1:], B, rows_per, 1,
-                max_len=max(cb.max_len, 1), translate=False, multi=multi,
-                min_len=min_len, packed_out=True, sym_order_dev=so_d,
+                s, *args[1:], B, rows_per, sym_rows,
+                max_len=max(cb.max_len, 1), translate=translate,
+                multi=multi, min_len=min_len, packed_out=True,
+                sym_order_dev=so_d,
             )
         return fn
 
