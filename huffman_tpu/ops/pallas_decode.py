@@ -98,24 +98,29 @@ DEFAULT_MULTI_RANK = 4          # rank mode drops the in-kernel symtab
                                 # it hides one more chain (measured r4,
                                 # 16 MiB/30k zipf: multi 2/3/4/5/6 =
                                 # 4.20/4.25/4.72/4.13/4.45 GB/s)
-DEFAULT_MULTI_RANK_SMALL = 5    # small-alphabet rank decode (the r5
+DEFAULT_MULTI_RANK_SMALL = 5    # silesia-class rank decode (the r5
                                 # headline path) hides one chain more
-                                # still: 32 MiB silesia multi 3/4/5/6 =
-                                # 11.46/12.33/12.84/11.88 GB/s, while
-                                # 30k keeps 4 (5.41/5.69/5.30/5.24) —
-                                # perflogs/r5_multi32_*.log
+                                # still: 32 MiB silesia (3969 unique,
+                                # max_len 16) multi 3/4/5/6 =
+                                # 11.46/12.33/12.84/11.88 GB/s. NOT a
+                                # general small-alphabet rule: at 2000
+                                # unique (max_len 15) 5 LOSES (m4/m5 =
+                                # 12.36/11.03), as it does at 30k/60k
+                                # (5.69/5.30, 3.46/3.27) — the extra
+                                # chain only pays on the deeper-codebook
+                                # mid band; perflogs/r5_multi32_*.log
 
 
 def default_multi(translate: bool, n_symbols: int | None = None) -> int:
     """The shipping chain-interleave width for a decode mode.
 
-    ``n_symbols`` (the rank-tier alphabet size, when known) selects
-    between the small-alphabet and wide rank widths; the boundary sits
-    at 4096 (<= 16 pass-table rows — measured at ~4k and 30k, untested
-    between; the in-between tiers inherit the conservative 4)."""
+    ``n_symbols`` (the rank-tier alphabet size, when known) selects the
+    rank width: 5 on the (2048, 4096] band, 4 elsewhere — measured at
+    the 2000/3969/30000/60000 endpoints (perflogs/r5_multi32_*.log);
+    the cut inside the unmeasured (2000, 3969) gap sits at 2048."""
     if translate:
         return DEFAULT_MULTI
-    if n_symbols is not None and n_symbols <= 4096:
+    if n_symbols is not None and 2048 < n_symbols <= 4096:
         return DEFAULT_MULTI_RANK_SMALL
     return DEFAULT_MULTI_RANK
 

@@ -53,6 +53,15 @@ def main():
         data = np.random.default_rng(5).choice(
             a, (size_mb << 20) // 2, p=pz
         ).astype("<u2").view(np.uint8)
+    elif corpus == "text2k":
+        # 8-row symtab: translate-vs-rank boundary territory. Run with
+        # HTPU_GATHER_MAX_ALPHABET=4096 to force translate mode here.
+        a = np.random.default_rng(8).choice(65536, 2000, replace=False)
+        pz = 1.0 / np.arange(1, 2001) ** 1.1
+        pz /= pz.sum()
+        data = np.random.default_rng(8).choice(
+            a, (size_mb << 20) // 2, p=pz
+        ).astype("<u2").view(np.uint8)
     elif corpus == "text300":
         a = np.random.default_rng(6).choice(65536, 300, replace=False)
         pz = 1.0 / np.arange(1, 301) ** 1.2
